@@ -1,0 +1,198 @@
+"""Host-side data pipeline: feature extraction, caching, bucketed batching.
+
+Replaces the reference's forked-worker ``DataLoader`` + ragged ``collate_pad``
+(``data/dataset.py``, ``train/ordinary.py:199-200``) with an XLA-friendly
+design:
+
+  * features are extracted once (threaded) into an ``.npy`` cache, written
+    atomically (tmp + rename) — fixing the reference's multi-worker cache
+    write race (``data/dataset.py:120-123``, SURVEY §5);
+  * batches are padded to a small set of *static bucket shapes*
+    (``Config.tpu.bucket_frames`` × ``bucket_text``) so XLA compiles a handful
+    of programs instead of one per ragged shape;
+  * every batch carries validity masks (``mel_mask``/``lin_mask``/``att_mask``)
+    so losses can ignore padding (the reference averages over pads).
+"""
+
+from __future__ import annotations
+
+import bisect
+import concurrent.futures
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.data.text import build_char2idx, text2id
+from spoofsv_tpu.data.vctk import speaker_id_from_path, utterance_id_from_path
+from spoofsv_tpu.dsp import host as dsp_host
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    np.save(tmp, arr)
+    os.replace(tmp + ".npy" if not tmp.endswith(".npy") else tmp, path)
+
+
+class TTSExample:
+    __slots__ = ("mel", "lin", "text", "spk", "utt_id")
+
+    def __init__(self, mel, lin, text, spk, utt_id):
+        self.mel, self.lin, self.text, self.spk, self.utt_id = mel, lin, text, spk, utt_id
+
+
+class TTSDataSource:
+    """Reads the reference path lists and produces per-utterance features.
+
+    Mirrors ``dataset.__init__``/``__getitem__`` (``data/dataset.py:9-173``):
+    path lists from ``data_path/ordinary/{wav,txt}.path.<mode>``, feature cache
+    keyed by utterance id, per-speaker embeddings from ``SPK_EMB_DIR``.
+    """
+
+    def __init__(self, cfg: Config, mode: str = "train",
+                 spec_dir: Optional[str] = None, need_lin: bool = True):
+        self.cfg = cfg
+        self.mode = mode
+        self.spec_dir = spec_dir
+        self.need_lin = need_lin
+        base = os.path.join(cfg.data_root_dir, "data_path", "ordinary")
+        with open(os.path.join(base, f"wav.path.{mode}")) as f:
+            self.wav_paths = [l.strip() for l in f if l.strip()]
+        with open(os.path.join(base, f"txt.path.{mode}")) as f:
+            self.txt_paths = [l.strip() for l in f if l.strip()]
+        assert len(self.wav_paths) == len(self.txt_paths)  # data/dataset.py:80
+        self.char2idx = build_char2idx(cfg.vocabulary)
+        self._spk_cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.wav_paths)
+
+    def speaker_embedding(self, spk: str) -> np.ndarray:
+        if spk not in self._spk_cache:
+            self._spk_cache[spk] = np.load(
+                os.path.join(self.cfg.spk_emb_dir, spk + ".npy")).astype(np.float32)
+        return self._spk_cache[spk]
+
+    def _features(self, wav_path: str) -> Tuple[np.ndarray, np.ndarray]:
+        utt = utterance_id_from_path(wav_path)
+        if self.spec_dir:
+            mel_p = os.path.join(self.spec_dir, utt + "_mel.npy")
+            lin_p = os.path.join(self.spec_dir, utt + "_lin.npy")
+            if os.path.exists(mel_p) and (not self.need_lin or os.path.exists(lin_p)):
+                mel = np.load(mel_p)
+                lin = np.load(lin_p) if self.need_lin else None
+                return mel, lin
+        y, sr = dsp_host.load_wav(wav_path)
+        mel, lin = dsp_host.tts_features(y, sr, self.cfg)
+        if self.spec_dir:
+            os.makedirs(self.spec_dir, exist_ok=True)
+            _atomic_save(os.path.join(self.spec_dir, utt + "_mel.npy"), mel)
+            _atomic_save(os.path.join(self.spec_dir, utt + "_lin.npy"), lin)
+        return mel, (lin if self.need_lin else None)
+
+    def __getitem__(self, idx: int) -> TTSExample:
+        wav_path = self.wav_paths[idx]
+        mel, lin = self._features(wav_path)
+        with open(self.txt_paths[idx]) as f:
+            raw = f.readline().strip()
+        text = text2id(raw, self.cfg.vocabulary, self.char2idx)
+        spk = self.speaker_embedding(speaker_id_from_path(wav_path))
+        return TTSExample(mel, lin, text, spk, utterance_id_from_path(wav_path))
+
+    def warm_cache(self, workers: int = 8) -> None:
+        """Precompute all features into the cache (replaces --save_spectrogram)."""
+        if not self.spec_dir:
+            return
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            list(ex.map(self._features, self.wav_paths))
+
+
+def _bucket_for(value: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket ≥ value; falls back to the largest (content truncated)."""
+    i = bisect.bisect_left(buckets, value)
+    return buckets[min(i, len(buckets) - 1)]
+
+
+def pad_batch(examples: List[TTSExample], cfg: Config,
+              with_lin: bool = False) -> Dict[str, np.ndarray]:
+    """Pad a list of examples to static bucket shapes + masks."""
+    r = cfg.mel.reduction
+    t_bucket = _bucket_for(max(e.mel.shape[0] for e in examples),
+                           cfg.tpu.bucket_frames)
+    n_bucket = _bucket_for(max(len(e.text) for e in examples),
+                           cfg.tpu.bucket_text)
+    b = len(examples)
+    mel = np.zeros((b, t_bucket, cfg.mel.freq_bins), np.float32)
+    text = np.zeros((b, n_bucket), np.int32)
+    spk = np.zeros((b, cfg.spk_emb_dim), np.float32)
+    mel_mask = np.zeros((b, t_bucket), bool)
+    text_mask = np.zeros((b, n_bucket), bool)
+    if with_lin:
+        lin = np.zeros((b, t_bucket * r, cfg.lin_bins), np.float32)
+        lin_mask = np.zeros((b, t_bucket * r), bool)
+    for i, e in enumerate(examples):
+        t = min(e.mel.shape[0], t_bucket)
+        n = min(len(e.text), n_bucket)
+        mel[i, :t] = e.mel[:t]
+        text[i, :n] = e.text[:n]
+        spk[i] = e.spk
+        mel_mask[i, :t] = True
+        text_mask[i, :n] = True
+        if with_lin and e.lin is not None:
+            tl = min(e.lin.shape[0], t_bucket * r)
+            lin[i, :tl] = e.lin[:tl]
+            lin_mask[i, :tl] = True
+    att_mask = text_mask[:, :, None] & mel_mask[:, None, :]
+    batch = {"mel": mel, "text": text, "spk": spk,
+             "mel_mask": mel_mask, "text_mask": text_mask, "att_mask": att_mask}
+    if with_lin:
+        batch["lin"] = lin
+        batch["lin_mask"] = lin_mask
+    return batch
+
+
+class BucketedLoader:
+    """Shuffling, bucket-grouped batch iterator (static shapes per bucket).
+
+    Groups shuffled examples by mel-length bucket so each emitted batch pads to
+    one of a few static shapes — the XLA-native replacement for
+    ``collate_pad_*`` ragged padding (``data/dataset.py:187-258``).
+    """
+
+    def __init__(self, source: TTSDataSource, batch_size: int,
+                 with_lin: bool = False, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        self.source = source
+        self.batch_size = batch_size
+        self.with_lin = with_lin
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._lengths: Optional[List[int]] = None
+
+    def _mel_len(self, idx: int) -> int:
+        # length from cached features if possible; else extract (and cache)
+        return self.source[idx].mel.shape[0]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.source))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        cfg = self.source.cfg
+        pools: Dict[int, List[TTSExample]] = {}
+        for idx in order:
+            e = self.source[int(idx)]
+            bucket = _bucket_for(e.mel.shape[0], cfg.tpu.bucket_frames)
+            pool = pools.setdefault(bucket, [])
+            pool.append(e)
+            if len(pool) == self.batch_size:
+                yield pad_batch(pool, cfg, self.with_lin)
+                pools[bucket] = []
+        if not self.drop_last:
+            leftovers = [e for pool in pools.values() for e in pool]
+            for i in range(0, len(leftovers), self.batch_size):
+                chunk = leftovers[i: i + self.batch_size]
+                if chunk:
+                    yield pad_batch(chunk, cfg, self.with_lin)

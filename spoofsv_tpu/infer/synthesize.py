@@ -1,0 +1,102 @@
+"""Batched synthesis pipeline: Text2Mel decode → SSRN → Griffin-Lim → wav.
+
+TPU-native re-design of ``synthesize.py:96-147`` and
+``generate_test_utterances.py:98-139``: the whole chain — AR mel decode, SSRN
+super-resolution, magnitude renormalization, 64-iteration Griffin-Lim, and IIR
+de-emphasis — is jitted and batched on device. The host only trims, peak-
+normalizes and writes wavs (cheap O(L) tail work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.dsp import host as dsp_host
+from spoofsv_tpu.dsp import jaxdsp
+from spoofsv_tpu.infer.decode import make_decoder
+from spoofsv_tpu.models.ssrn import SSRN
+from spoofsv_tpu.models.text2mel import MelSyn
+
+Array = jax.Array
+
+
+def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
+    """Jitted (lin_mag (B, T, F), key) → audio (B, hop*(T-1)).
+
+    Implements the post-net of ``synthesize.py:134-145``: per-utterance max
+    renorm (non-log mode), power re-expansion ``(·)^(1.3/0.6)``, Griffin-Lim
+    (64 iters, hop 256, win 1024), and de-emphasis.
+    """
+    n_iter = n_iter or cfg.tpu.griffin_lim_iters
+    n_fft = cfg.stft.fft_length
+    hop = cfg.stft.hop_length
+    power = cfg.norm.reconstruction_power / cfg.norm.analysis_power
+
+    @jax.jit
+    def vocode(lin_pred: Array, key: Array) -> Array:
+        x = lin_pred.astype(jnp.float32)
+        if cfg.norm.log_feature:
+            db = x * cfg.norm.max_db - cfg.norm.max_db + cfg.norm.ref_db
+            x = jnp.power(10.0, 0.05 * db)
+        else:
+            peak = jnp.max(x, axis=(1, 2), keepdims=True)
+            x = x / jnp.maximum(peak, 1e-8)
+        spec = jnp.power(x, power)
+        audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft, n_iter=n_iter)
+        return jaxdsp.deemphasis(audio, cfg.preemph)
+
+    return vocode
+
+
+def finalize_audio(audio: np.ndarray, cfg: Config, trim_db: Optional[float] = None,
+                   max_seconds: Optional[float] = None) -> np.ndarray:
+    """Host-side tail: optional trim, duration cap, peak scale ×0.75.
+
+    Mirrors ``generate_test_utterances.py:136-139`` (trim 30 dB, 9 s cap) and
+    ``synthesize.py:147`` (scale by max → 0.75; note the reference divides by
+    ``max`` not ``|max|`` — preserved).
+    """
+    y = np.asarray(audio, dtype=np.float32)
+    if trim_db is not None:
+        y, _ = dsp_host.trim_silence(y, trim_db)
+        if len(y) == 0:
+            y = np.asarray(audio, dtype=np.float32)
+    if max_seconds is not None and len(y) > int(max_seconds * cfg.sampling_rate):
+        y = y[: int(max_seconds * cfg.sampling_rate)]
+    if not cfg.norm.log_feature:
+        y = y / np.max(y) * 0.75
+    return y
+
+
+class Synthesizer:
+    """End-to-end batched TTS: (text_ids, spk_emb) → waveforms."""
+
+    def __init__(self, cfg: Config, melsyn: MelSyn, ssrn: SSRN,
+                 melsyn_params, ssrn_params, n_frames: Optional[int] = None,
+                 gl_iters: Optional[int] = None):
+        self.cfg = cfg
+        self.melsyn = melsyn
+        self.ssrn = ssrn
+        self.melsyn_params = melsyn_params
+        self.ssrn_params = ssrn_params
+        self.n_frames = n_frames or cfg.max_frame_num
+        self.decode = make_decoder(melsyn, self.n_frames)
+        self.vocode = make_vocoder(cfg, gl_iters)
+        self._ssrn_apply = jax.jit(lambda p, mel: ssrn.apply(p, mel))
+
+    def mel_to_audio(self, mel: Array, key: Array) -> Array:
+        lin = self._ssrn_apply(self.ssrn_params, mel)
+        return self.vocode(lin, key)
+
+    def __call__(self, text_ids: Array, spk_emb: Array, key: Array
+                 ) -> Tuple[Array, Array, Array]:
+        """Returns (audio (B, L), coarse_mel (B, T, 80), attention (B, N, T))."""
+        mel, attn, _ = self.decode(self.melsyn_params, text_ids, spk_emb)
+        audio = self.mel_to_audio(mel, key)
+        return audio, mel, attn
