@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: synthesized audio seconds per wall second per chip.
+
+Full pipeline at reference dims — batched autoregressive Text2Mel decode
+(325 frames, scan with causal caches), SSRN ×4 super-resolution, 64-iteration
+Griffin-Lim (DFT-matmul on TPU) and de-emphasis — everything jitted on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.json north-star target of
+50× realtime per chip (the reference repo publishes no numbers of its own —
+it vocodes per-utterance on CPU via librosa).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spoofsv_tpu.config import Config
+    from spoofsv_tpu.infer.synthesize import Synthesizer
+    from spoofsv_tpu.models import MelSyn, SSRN
+    from spoofsv_tpu.train.steps import shift_right
+
+    cfg = Config()
+    dtype = jnp.bfloat16
+    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
+                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                    dtype=dtype)
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    N = 100                      # text length (Harvard sentences are < 100 chars)
+    T = cfg.max_frame_num        # 325-frame rollout (generate_test_utterances.py:114)
+
+    text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (B, N)), jnp.int32)
+    spk = jnp.asarray(rng.normal(size=(B, cfg.spk_emb_dim)), jnp.float32)
+    mel_example = jnp.asarray(rng.uniform(0.05, 0.95, (B, 8, cfg.mel.freq_bins)),
+                              jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    melsyn_params = melsyn.init(key, shift_right(mel_example), text, spk)
+    ssrn_params = ssrn.init(key, mel_example)
+
+    syn = Synthesizer(cfg, melsyn, ssrn, melsyn_params, ssrn_params,
+                      n_frames=T, gl_iters=cfg.tpu.griffin_lim_iters)
+
+    def run(k):
+        audio, mel, attn = syn(text, spk, k)
+        return audio
+
+    # warmup/compile
+    audio = run(jax.random.PRNGKey(1))
+    audio.block_until_ready()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        audio = run(jax.random.PRNGKey(2 + i))
+    audio.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = audio.shape[0] * audio.shape[1] / cfg.sampling_rate
+    rtf_per_chip = audio_seconds / dt / max(1, 1)  # single-chip bench
+    target = 50.0
+    print(json.dumps({
+        "metric": "synthesized_audio_sec_per_sec_per_chip",
+        "value": round(rtf_per_chip, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf_per_chip / target, 3),
+        "detail": {
+            "batch": B, "frames": T, "gl_iters": cfg.tpu.griffin_lim_iters,
+            "audio_seconds_per_batch": round(audio_seconds, 1),
+            "wall_s_per_batch": round(dt, 3),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

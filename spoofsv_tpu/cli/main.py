@@ -1,0 +1,151 @@
+"""CLI entry point mirroring the reference ``main.py:8-49``.
+
+Subcommands ``train_text2mel | train_ssrn | synthesize`` with flags
+``-P/--pattern``, ``-R/--resume``, ``-C/--configuration``, ``--adversarial``,
+``--save_spectrogram``, ``-T/--current_time`` — same surface, TPU-native
+engine underneath.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def build_models(cfg, pattern: str, dtype=None):
+    import jax.numpy as jnp
+
+    from spoofsv_tpu.models import LinDisc, MelDisc, MelSyn, SSRN
+
+    dtype = dtype or jnp.float32
+    dropout = 0.05 if cfg.apply_dropout else 0.0
+    melsyn = MelSyn(
+        vocab_len=cfg.vocab_len,
+        condition=(pattern == "conditional"),   # train/ordinary.py:160
+        spk_emb_dim=cfg.spk_emb_dim,
+        text_emb_dim=cfg.text_emb_dim,
+        freq_bins=cfg.mel.freq_bins,
+        hidden_dim=cfg.hidden_dim,
+        dropout_rate=dropout,
+        dtype=dtype,
+    )
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim, dropout_rate=dropout, dtype=dtype)
+    mel_disc = MelDisc(disc_dim=cfg.disc_dim, dtype=dtype)
+    lin_disc = LinDisc(disc_dim=cfg.disc_dim, dtype=dtype)
+    return melsyn, ssrn, mel_disc, lin_disc
+
+
+def run_training(args, cfg, spec_dir: Optional[str]) -> None:
+    from spoofsv_tpu.data.pipeline import BucketedLoader, TTSDataSource
+    from spoofsv_tpu.train.loop import Trainer
+
+    melsyn, ssrn, mel_disc, lin_disc = build_models(cfg, args.pattern)
+    if args.step == "train_text2mel":
+        gen, disc = melsyn, mel_disc
+        with_lin = False
+    else:
+        gen, disc = ssrn, lin_disc
+        with_lin = True
+
+    train_src = TTSDataSource(cfg, "train", spec_dir, need_lin=with_lin)
+    val_src = TTSDataSource(cfg, "validate", spec_dir, need_lin=with_lin)
+
+    trainer = Trainer(cfg, gen, args.step, pattern=args.pattern,
+                      adversarial=args.adversarial,
+                      disc_model=disc if args.adversarial else None,
+                      ctime=args.current_time, use_masks=args.masked_loss)
+
+    def train_loader():
+        return BucketedLoader(train_src, cfg.batch_size, with_lin=with_lin,
+                              shuffle=True, seed=trainer.epoch)
+
+    def val_loader():
+        return BucketedLoader(val_src, 8, with_lin=with_lin, shuffle=False)
+
+    if args.resume:
+        example = next(iter(train_loader()))
+        trainer.resume(args.resume, example)
+        print(f"Resumed from {args.resume} at iteration {trainer.iteration}")
+
+    trainer.fit(train_loader, val_loader, plot=cfg.plot_curve,
+                max_iterations=args.max_iterations)
+
+
+def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
+    """Batch synthesis over the synthesize split (``synthesize.py:41-147``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spoofsv_tpu.data.pipeline import BucketedLoader, TTSDataSource
+    from spoofsv_tpu.dsp import host as dsp_host
+    from spoofsv_tpu.infer.synthesize import Synthesizer, finalize_audio
+    from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+    melsyn, ssrn, _, _ = build_models(cfg, args.pattern)
+    m1_params = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
+    m2_params = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg,
+                                      kind="ssrn")
+
+    sample_dir = os.path.join(cfg.src_root_dir, "samples", args.current_time)
+    os.makedirs(sample_dir, exist_ok=True)
+
+    src = TTSDataSource(cfg, "synthesize", spec_dir, need_lin=True)
+    loader = BucketedLoader(src, 8, with_lin=True, shuffle=False)
+
+    key = jax.random.PRNGKey(0)
+    for i, batch in enumerate(loader):
+        t = batch["mel"].shape[1]
+        syn = Synthesizer(cfg, melsyn, ssrn, m1_params, m2_params, n_frames=t)
+        key, sub = jax.random.split(key)
+        audio, mel, attn = syn(jnp.asarray(batch["text"]),
+                               jnp.asarray(batch["spk"]), sub)
+        audio = np.asarray(audio)
+        for k in range(audio.shape[0]):
+            wav = finalize_audio(audio[k], cfg)
+            dsp_host.write_wav(
+                os.path.join(sample_dir, f"S{k+1}_B{i+1}.wav"),
+                wav, cfg.sampling_rate)   # naming: synthesize.py:147
+        print(f"batch {i+1}: wrote {audio.shape[0]} wavs to {sample_dir}")
+
+
+def main(argv=None) -> None:
+    ps = argparse.ArgumentParser(description="Adversarial Conditional Text-to-speech (TPU-native)")
+    ps.add_argument("step", choices=["train_text2mel", "train_ssrn", "synthesize"],
+                    metavar="s")
+    ps.add_argument("-P", "--pattern",
+                    choices=["universal", "conditional", "ubm-finetune"],
+                    default="conditional", metavar="m")
+    ps.add_argument("-R", "--resume", type=str, default=None, metavar="checkpoint")
+    ps.add_argument("-C", "--configuration", type=str, default=None)
+    ps.add_argument("--adversarial", action="store_true")
+    ps.add_argument("--save_spectrogram", action="store_true")
+    ps.add_argument("-T", "--current_time", type=str, required=True, metavar="T")
+    # TPU-native extras (no reference counterpart)
+    ps.add_argument("--masked_loss", action="store_true",
+                    help="exclude padded frames from losses (reference averages over pads)")
+    ps.add_argument("--max_iterations", type=int, default=None)
+    args = ps.parse_args(argv)
+
+    from spoofsv_tpu.config import load_config
+
+    cfg = load_config(args.configuration)
+
+    if args.save_spectrogram:
+        spec_dir = os.path.join(cfg.src_root_dir, "spec")
+        os.makedirs(spec_dir, exist_ok=True)    # main.py:22-27
+    else:
+        spec_dir = None
+
+    if args.step in ("train_text2mel", "train_ssrn"):
+        run_training(args, cfg, spec_dir)
+    else:
+        run_synthesize(args, cfg, spec_dir)
+
+
+if __name__ == "__main__":
+    main()

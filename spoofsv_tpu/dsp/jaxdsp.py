@@ -28,6 +28,65 @@ def _fft_window(win_length: int, n_fft: int) -> np.ndarray:
     return pad_center(hann_window(win_length), n_fft).astype(np.float32)
 
 
+# ----------------------------------------------------------------------
+# DFT-as-matmul: the TPU path.
+#
+# The MXU has no FFT unit (and the axon TPU tunnel leaves jnp.fft
+# UNIMPLEMENTED), but an rFFT of frame length 1024 is just two (1024, 513)
+# matmuls — exactly what the systolic array is for. At Griffin-Lim's sizes the
+# DFT matrices live in VMEM and the whole 64-iteration loop stays on-chip.
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n_fft: int):
+    """(cos (N,F), msin (N,F)) forward and (inv_c (F,N), inv_s (F,N)) inverse
+    real-DFT matrices, F = 1+N//2."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos = np.cos(ang)
+    msin = -np.sin(ang)
+    # irfft: x[t] = (1/N) Σ_k w_k (Re X_k cos - Im X_k sin), w = 1 at DC/Nyq else 2
+    w = np.full((1 + n_fft // 2, 1), 2.0)
+    w[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1, 0] = 1.0
+    inv_c = (w * np.cos(ang.T)) / n_fft
+    inv_s = -(w * np.sin(ang.T)) / n_fft
+    return (cos.astype(np.float32), msin.astype(np.float32),
+            inv_c.astype(np.float32), inv_s.astype(np.float32))
+
+
+def rfft_ri(frames: jnp.ndarray, n_fft: int, use_matmul: bool
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real FFT of ``(..., n_fft)`` frames → (re, im), each ``(..., 1+n_fft//2)``."""
+    if not use_matmul:
+        spec = jnp.fft.rfft(frames, axis=-1)
+        return jnp.real(spec), jnp.imag(spec)
+    cos, msin, _, _ = _dft_mats(n_fft)
+    f = frames.astype(jnp.float32)
+    re = jnp.matmul(f, jnp.asarray(cos), precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(f, jnp.asarray(msin), precision=jax.lax.Precision.HIGHEST)
+    return re, im
+
+
+def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, use_matmul: bool
+             ) -> jnp.ndarray:
+    """Inverse of :func:`rfft_ri` → real frames ``(..., n_fft)``."""
+    if not use_matmul:
+        return jnp.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
+    _, _, inv_c, inv_s = _dft_mats(n_fft)
+    out = jnp.matmul(re.astype(jnp.float32), jnp.asarray(inv_c),
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out + jnp.matmul(im.astype(jnp.float32), jnp.asarray(inv_s),
+                           precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+def _default_use_matmul() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
 def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """Frame ``(..., L)`` → ``(..., T, n_fft)`` with T = 1 + (L-n_fft)//hop.
 
@@ -46,9 +105,10 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     return y[..., idx]
 
 
-def stft(y: jnp.ndarray, n_fft: int, hop_length: int,
-         win_length: Optional[int] = None, center: bool = True) -> jnp.ndarray:
-    """Complex STFT of ``(..., L)`` → ``(..., T, 1+n_fft//2)`` (time-major)."""
+def stft_ri(y: jnp.ndarray, n_fft: int, hop_length: int,
+            win_length: Optional[int] = None, center: bool = True,
+            use_matmul: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real/imag STFT of ``(..., L)`` → (re, im) each ``(..., T, 1+n_fft//2)``."""
     if win_length is None:
         win_length = n_fft
     window = jnp.asarray(_fft_window(win_length, n_fft))
@@ -56,7 +116,14 @@ def stft(y: jnp.ndarray, n_fft: int, hop_length: int,
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         y = jnp.pad(y, pad, mode="reflect")
     frames = frame_signal(y, n_fft, hop_length) * window
-    return jnp.fft.rfft(frames, axis=-1)
+    return rfft_ri(frames, n_fft, use_matmul)
+
+
+def stft(y: jnp.ndarray, n_fft: int, hop_length: int,
+         win_length: Optional[int] = None, center: bool = True) -> jnp.ndarray:
+    """Complex STFT of ``(..., L)`` → ``(..., T, 1+n_fft//2)`` (time-major)."""
+    re, im = stft_ri(y, n_fft, hop_length, win_length, center, use_matmul=False)
+    return re + 1j * im
 
 
 def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
@@ -77,14 +144,15 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
     return out.reshape(*lead, total_chunks * hop_length)
 
 
-def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
-          win_length: Optional[int] = None, center: bool = True) -> jnp.ndarray:
-    """Inverse STFT of ``(..., T, 1+n_fft//2)`` → ``(..., hop*(T-1))`` (centered)."""
+def istft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
+             win_length: Optional[int] = None, center: bool = True,
+             use_matmul: bool = False) -> jnp.ndarray:
+    """Inverse STFT of (re, im) ``(..., T, 1+n_fft//2)`` → ``(..., hop*(T-1))``."""
     if win_length is None:
         win_length = n_fft
     window = jnp.asarray(_fft_window(win_length, n_fft))
-    T = spec.shape[-2]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    T = re.shape[-2]
+    frames = irfft_ri(re, im, n_fft, use_matmul) * window
     y = _overlap_add(frames, hop_length)
     wss = window_sumsquare(hann_window(win_length), T, hop_length, n_fft)
     wss = jnp.asarray(wss.astype(np.float32))
@@ -94,32 +162,53 @@ def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "n_iter"))
+def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
+          win_length: Optional[int] = None, center: bool = True) -> jnp.ndarray:
+    """Inverse STFT of complex ``(..., T, 1+n_fft//2)`` → ``(..., hop*(T-1))``."""
+    return istft_ri(jnp.real(spec), jnp.imag(spec), n_fft, hop_length,
+                    win_length, center, use_matmul=False)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "hop_length", "win_length", "n_iter", "use_matmul"))
 def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
-                win_length: int, n_iter: int = 64, momentum: float = 0.99) -> jnp.ndarray:
+                win_length: int, n_iter: int = 64, momentum: float = 0.99,
+                use_matmul: Optional[bool] = None) -> jnp.ndarray:
     """Batched Griffin-Lim phase reconstruction on TPU.
 
     ``mag``: magnitude spectrogram ``(..., T, 1+n_fft//2)`` → audio ``(..., hop*(T-1))``.
     Matches librosa 0.7 ``griffinlim`` (momentum accel, random phase init) as
     invoked at ``synthesize.py:144`` (n_iter=64, hop 256, win 1024).
+
+    Phase is carried as (re, im) float pairs and the r(i)FFTs run either as
+    ``jnp.fft`` (CPU) or as DFT matmuls on the MXU (TPU — ``use_matmul`` auto-
+    selects by backend; the axon tunnel has no FFT kernel at all).
     """
+    if use_matmul is None:
+        use_matmul = _default_use_matmul()
     mag = mag.astype(jnp.float32)
     phase = jax.random.uniform(key, mag.shape, jnp.float32, 0.0, 2.0 * jnp.pi)
-    angles = jnp.exp(1j * phase).astype(jnp.complex64)
-    rebuilt = jnp.zeros_like(angles)
+    ang_re, ang_im = jnp.cos(phase), jnp.sin(phase)
+    reb_re = jnp.zeros_like(mag)
+    reb_im = jnp.zeros_like(mag)
     alpha = momentum / (1.0 + momentum)
 
     def body(_, carry):
-        angles, rebuilt = carry
-        tprev = rebuilt
-        inverse = istft(mag * angles, n_fft, hop_length, win_length)
-        rebuilt = stft(inverse, n_fft, hop_length, win_length)
-        ang = rebuilt - alpha * tprev
-        ang = ang / (jnp.abs(ang) + 1e-16)
-        return ang.astype(jnp.complex64), rebuilt.astype(jnp.complex64)
+        ang_re, ang_im, reb_re, reb_im = carry
+        tprev_re, tprev_im = reb_re, reb_im
+        inverse = istft_ri(mag * ang_re, mag * ang_im, n_fft, hop_length,
+                           win_length, use_matmul=use_matmul)
+        reb_re, reb_im = stft_ri(inverse, n_fft, hop_length, win_length,
+                                 use_matmul=use_matmul)
+        a_re = reb_re - alpha * tprev_re
+        a_im = reb_im - alpha * tprev_im
+        norm = jnp.sqrt(a_re * a_re + a_im * a_im) + 1e-16
+        return a_re / norm, a_im / norm, reb_re, reb_im
 
-    angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, rebuilt))
-    return istft(mag * angles, n_fft, hop_length, win_length)
+    ang_re, ang_im, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (ang_re, ang_im, reb_re, reb_im))
+    return istft_ri(mag * ang_re, mag * ang_im, n_fft, hop_length, win_length,
+                    use_matmul=use_matmul)
 
 
 @jax.jit

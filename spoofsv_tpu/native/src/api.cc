@@ -1,0 +1,166 @@
+// C API for libspoofkit — ctypes-facing surface of the native speaker-ID stack.
+//
+// Single translation unit: includes the implementation files directly so the
+// whole library builds with one `g++ -shared` invocation (see ../Makefile).
+
+#include "common.h"
+#include "mfcc.cc"
+#include "gmm.cc"
+#include "ivector.cc"
+#include "plda.cc"
+
+using namespace spoofkit;
+
+extern "C" {
+
+// ---------------- MFCC ----------------
+void* sk_mfcc_new(int sample_rate, int num_mel, int num_ceps) {
+  MfccConfig cfg;
+  cfg.sample_rate = sample_rate;
+  cfg.num_mel = num_mel;
+  cfg.num_ceps = num_ceps;
+  if (sample_rate > 16000) cfg.high_freq = sample_rate / 2.0 - 400.0;
+  return new MfccComputer(cfg);
+}
+
+void sk_mfcc_free(void* h) { delete (MfccComputer*)h; }
+
+int sk_mfcc_num_frames(void* h, int n_samples) {
+  return ((MfccComputer*)h)->num_frames(n_samples);
+}
+
+void sk_mfcc_compute(void* h, const float* wav, int n, double* feats_out,
+                     double* log_e_out) {
+  Mat feats;
+  Vec log_e;
+  ((MfccComputer*)h)->compute(wav, n, &feats, &log_e);
+  std::memcpy(feats_out, feats.data.data(), feats.data.size() * sizeof(double));
+  std::memcpy(log_e_out, log_e.data(), log_e.size() * sizeof(double));
+}
+
+void sk_energy_vad(const double* log_e, int T, double threshold,
+                   double mean_scale, int context, double proportion,
+                   uint8_t* out) {
+  Vec e(log_e, log_e + T);
+  std::vector<uint8_t> voiced;
+  energy_vad(e, threshold, mean_scale, context, proportion, &voiced);
+  std::memcpy(out, voiced.data(), T);
+}
+
+void sk_cmvn_sliding(double* feats, int T, int D, int window) {
+  Mat m(T, D);
+  std::memcpy(m.data.data(), feats, (size_t)T * D * sizeof(double));
+  cmvn_sliding(&m, window);
+  std::memcpy(feats, m.data.data(), (size_t)T * D * sizeof(double));
+}
+
+// ---------------- diag UBM ----------------
+void* sk_train_diag_ubm(const double* frames, int N, int D, int C, int iters,
+                        uint64_t seed, int verbose) {
+  Mat f(N, D);
+  std::memcpy(f.data.data(), frames, (size_t)N * D * sizeof(double));
+  return new DiagGmm(train_diag_ubm(f, C, iters, seed, verbose));
+}
+
+void sk_diag_ubm_get(void* h, double* weights, double* means, double* vars) {
+  DiagGmm* g = (DiagGmm*)h;
+  std::memcpy(weights, g->weights.data(), g->num_comp * sizeof(double));
+  std::memcpy(means, g->means.data.data(),
+              g->means.data.size() * sizeof(double));
+  std::memcpy(vars, g->vars.data.data(), g->vars.data.size() * sizeof(double));
+}
+
+void* sk_diag_ubm_from(const double* weights, const double* means,
+                       const double* vars, int C, int D) {
+  DiagGmm* g = new DiagGmm();
+  g->num_comp = C;
+  g->dim = D;
+  g->weights.assign(weights, weights + C);
+  g->means = Mat(C, D);
+  g->vars = Mat(C, D);
+  std::memcpy(g->means.data.data(), means, (size_t)C * D * sizeof(double));
+  std::memcpy(g->vars.data.data(), vars, (size_t)C * D * sizeof(double));
+  return g;
+}
+
+void sk_diag_ubm_free(void* h) { delete (DiagGmm*)h; }
+
+void sk_acc_stats(void* ubm, const double* feats, int T, int D, double* N_out,
+                  double* F_out) {
+  DiagGmm* g = (DiagGmm*)ubm;
+  Mat f(T, D);
+  std::memcpy(f.data.data(), feats, (size_t)T * D * sizeof(double));
+  DiagGmmScorer scorer(*g);
+  Vec N_c;
+  Mat F_c;
+  accumulate_stats(scorer, f, &N_c, &F_c);
+  std::memcpy(N_out, N_c.data(), N_c.size() * sizeof(double));
+  std::memcpy(F_out, F_c.data.data(), F_c.data.size() * sizeof(double));
+}
+
+// ---------------- i-vector extractor ----------------
+void* sk_train_ivector(const double* means, const double* vars, int C, int D,
+                       int R, const double* allN, const double* allF, int U,
+                       int iters, uint64_t seed, int verbose) {
+  Mat m(C, D), v(C, D);
+  std::memcpy(m.data.data(), means, (size_t)C * D * sizeof(double));
+  std::memcpy(v.data.data(), vars, (size_t)C * D * sizeof(double));
+  std::vector<Vec> N_list(U, Vec(C));
+  std::vector<Mat> F_list(U, Mat(C, D));
+  for (int u = 0; u < U; ++u) {
+    std::memcpy(N_list[u].data(), allN + (size_t)u * C, C * sizeof(double));
+    std::memcpy(F_list[u].data.data(), allF + (size_t)u * C * D,
+                (size_t)C * D * sizeof(double));
+  }
+  return new IvectorExtractor(train_ivector_extractor(
+      m, v, R, N_list, F_list, iters, seed, verbose));
+}
+
+int sk_ivector_dim(void* h) { return ((IvectorExtractor*)h)->ivec_dim; }
+
+void sk_extract_ivector(void* h, const double* Nc, const double* Fc,
+                        double* out) {
+  IvectorExtractor* ext = (IvectorExtractor*)h;
+  Vec N(Nc, Nc + ext->num_comp);
+  Mat F(ext->num_comp, ext->dim);
+  std::memcpy(F.data.data(), Fc,
+              (size_t)ext->num_comp * ext->dim * sizeof(double));
+  Vec iv = extract_ivector(*ext, N, F);
+  std::memcpy(out, iv.data(), iv.size() * sizeof(double));
+}
+
+void sk_ivector_free(void* h) { delete (IvectorExtractor*)h; }
+
+// ---------------- PLDA ----------------
+void* sk_train_plda(const double* ivecs, int N, int D, const int* labels,
+                    int num_spk, int verbose) {
+  Mat m(N, D);
+  std::memcpy(m.data.data(), ivecs, (size_t)N * D * sizeof(double));
+  std::vector<int> lab(labels, labels + N);
+  return new Plda(train_plda(m, lab, num_spk, verbose));
+}
+
+void sk_plda_transform(void* h, const double* x, double* out) {
+  Plda* p = (Plda*)h;
+  Vec o;
+  plda_transform(*p, x, &o);
+  std::memcpy(out, o.data(), o.size() * sizeof(double));
+}
+
+double sk_plda_llr(void* h, const double* enroll_mean_t, int n,
+                   const double* test_t) {
+  Plda* p = (Plda*)h;
+  Vec e(enroll_mean_t, enroll_mean_t + p->dim);
+  Vec t(test_t, test_t + p->dim);
+  return plda_llr(*p, e, n, t);
+}
+
+void sk_plda_free(void* h) { delete (Plda*)h; }
+
+double sk_compute_eer(const double* target, int nt, const double* nontarget,
+                      int nn, double* threshold) {
+  Vec t(target, target + nt), n(nontarget, nontarget + nn);
+  return compute_eer(t, n, threshold);
+}
+
+}  // extern "C"

@@ -1,0 +1,390 @@
+"""GE2E speaker-verification subsystem: preprocess, train, test, spoof rate.
+
+TPU-native re-design of ``GE2E/data_preprocess.py`` and
+``GE2E/train_speech_embedder.py``:
+
+  * TISV preprocessing keeps the reference's exact staging rules — log10-mel-
+    power features, first & last 120-frame crops per utterance, train speakers
+    capped at 100 utterances, test speakers laid out as 2·(enroll+eval) crops
+    (enroll first) with random resample-duplication when short
+    (``GE2E/data_preprocess.py:36-93``);
+  * the training step is one jitted program — LSTM embedder forward, the
+    vectorized GE2E loss (no O(N²M) Python loops), per-group gradient clipping
+    (3.0 embedder / 1.0 loss — ``train_speech_embedder.py:84-85``) and SGD;
+  * the test harness reproduces the EER sweep over thresholds 0.5+0.01·i,
+    the FAR/FRR/gt-FRR/spoof-rate-at-EER bookkeeping, `test_nospoof` threshold
+    transfer, and the final average spoof rate (``:113-322``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spoofsv_tpu.config import GE2EConfig
+from spoofsv_tpu.dsp import host as dsp_host
+
+
+# ----------------------------------------------------------------------
+# Preprocessing (TISV crops)
+# ----------------------------------------------------------------------
+
+def save_spectrogram_tisv(ge2e: GE2EConfig, train_spk_num: int,
+                          enroll_num: int, eval_num: int,
+                          seed: Optional[int] = None, verbose: bool = True) -> None:
+    """Crop + save per-speaker feature arrays (``GE2E/data_preprocess.py:15-93``).
+
+    NB: the reference calls this with ``enroll_num = args.enroll_num +
+    args.eval_num`` (``:102``) so "enroll" here means enroll+eval real crops.
+    """
+    rng = np.random.default_rng(seed)
+    audio_dirs = sorted(glob.glob(os.path.dirname(ge2e.unprocessed_data)),
+                        key=lambda x: x[-3:])
+    os.makedirs(ge2e.data.train_path, exist_ok=True)
+    os.makedirs(ge2e.data.test_path, exist_ok=True)
+    d = ge2e.data
+    utter_min_len = (d.tisv_frame * d.hop + d.window) * d.sr
+
+    for i, folder in enumerate(audio_dirs):
+        utterances: List[np.ndarray] = []
+        eval_spec: List[np.ndarray] = []
+        if i < train_spk_num:
+            utts_list = os.listdir(folder)[:100]
+        else:
+            utts_list = sorted(os.listdir(folder), key=lambda x: x[:-4])
+        for k, utter_name in enumerate(utts_list):
+            if not utter_name.endswith(".wav"):
+                continue
+            y, sr = dsp_host.load_wav(os.path.join(folder, utter_name), sr=d.sr)
+            y, _ = dsp_host.trim_silence(y, 30.0)
+            if len(y) > utter_min_len:
+                S = dsp_host.ge2e_logmel(y, d.sr, d.nfft, d.window, d.hop, d.nmels)
+                first = S[:, : d.tisv_frame]
+                last = S[:, -d.tisv_frame:]
+                if i >= train_spk_num and k >= enroll_num:
+                    eval_spec += [first, last]
+                else:
+                    utterances += [first, last]
+
+        if i >= train_spk_num:
+            # duplication rules (:66-83)
+            n_enroll = len(utterances)
+            if 2 * enroll_num - n_enroll > 0:
+                for _ in range(enroll_num - n_enroll // 2):
+                    utterances.append(utterances[rng.integers(0, n_enroll // 2)])
+                    utterances.append(utterances[rng.integers(0, n_enroll // 2)])
+            n_eval = len(eval_spec)
+            if 2 * eval_num - n_eval > 0:
+                for _ in range(eval_num - n_eval // 2):
+                    eval_spec.append(eval_spec[rng.integers(0, n_eval // 2)])
+                    eval_spec.append(eval_spec[rng.integers(0, n_eval // 2)])
+            utterances = utterances + eval_spec
+            arr = np.array(utterances)
+            assert arr.shape[0] == 2 * (enroll_num + eval_num)   # :88
+            np.save(os.path.join(d.test_path,
+                                 f"speaker{i - train_spk_num}.npy"), arr)
+        else:
+            np.save(os.path.join(d.train_path, f"speaker{i}.npy"),
+                    np.array(utterances))
+        if verbose:
+            print(f"speaker {i} ({'train' if i < train_spk_num else 'test'}): "
+                  f"{len(utterances)} crops")
+
+
+class SpeakerBatcher:
+    """Loads preprocessed speaker npys; samples (N, M, frames, nmels) batches
+    (``GE2E/data_load.py:48-86``)."""
+
+    def __init__(self, path: str, m: int, shuffle: bool = True, seed: int = 0):
+        self.path = path
+        self.files = sorted(os.listdir(path),
+                            key=lambda x: int(x[7:-4]) if x[7:-4].isdigit() else 0)
+        self.m = m
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.files)
+
+    def _load(self, fname: str) -> np.ndarray:
+        if fname not in self._cache:
+            self._cache[fname] = np.load(os.path.join(self.path, fname))
+        return self._cache[fname]
+
+    def sample_batch(self, n: int) -> np.ndarray:
+        """(N, M, frames, nmels), time-major per utterance."""
+        if self.shuffle:
+            idx = self.rng.choice(len(self.files), size=n, replace=False)
+        else:
+            idx = np.arange(n)
+        out = []
+        for i in idx:
+            utters = self._load(self.files[int(i)])      # (U, nmels, frames)
+            if self.shuffle:
+                sel = self.rng.integers(0, utters.shape[0], self.m)
+            else:
+                sel = np.arange(self.m)
+            out.append(np.transpose(utters[sel], (0, 2, 1)))
+        return np.stack(out)
+
+    def ordered_batches(self, n: int):
+        """Non-shuffling sequential N-speaker groups (drop_last semantics)."""
+        for s in range(0, (len(self.files) // n) * n, n):
+            out = []
+            for i in range(s, s + n):
+                utters = self._load(self.files[i])
+                out.append(np.transpose(utters[: self.m], (0, 2, 1)))
+            yield np.stack(out)
+
+
+# ----------------------------------------------------------------------
+# Training
+# ----------------------------------------------------------------------
+
+def make_ge2e_train_step(embedder, loss_mod, lr: float):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def clip_by_norm(tree, max_norm):
+        leaves = jax.tree_util.tree_leaves(tree)
+        norm = jnp.sqrt(sum(jnp.sum(l ** 2) for l in leaves))
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        return jax.tree_util.tree_map(lambda l: l * scale, tree)
+
+    tx = optax.sgd(lr)
+
+    def init_fn(rng, batch):
+        n, m, t, f = batch.shape
+        flat = jnp.asarray(batch.reshape(n * m, t, f))
+        r1, r2 = jax.random.split(jax.random.PRNGKey(0) if rng is None else rng)
+        p_emb = embedder.init(r1, flat)
+        p_loss = loss_mod.init(r2, jnp.zeros((n, m, embedder.proj)))
+        params = {"embedder": p_emb, "loss": p_loss}
+        return params, tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, batch):
+        n, m = batch.shape[0], batch.shape[1]
+
+        def loss_fn(p):
+            flat = batch.reshape(n * m, batch.shape[2], batch.shape[3])
+            e = embedder.apply(p["embedder"], flat)
+            e = e.reshape(n, m, -1)
+            return loss_mod.apply(p["loss"], e)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # per-group clip: embedder 3.0, (w, b) 1.0 (train_speech_embedder.py:84-85)
+        grads = {"embedder": clip_by_norm(grads["embedder"], 3.0),
+                 "loss": clip_by_norm(grads["loss"], 1.0)}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _o
+        params = _o.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_fn, step_fn
+
+
+def train_ge2e(ge2e: GE2EConfig, max_epochs: Optional[int] = None,
+               seed: int = 0, verbose: bool = True):
+    """Full GE2E training loop (``GE2E/train_speech_embedder.py:40-111``)."""
+    import jax
+
+    from spoofsv_tpu.models.ge2e import GE2ELoss, SpeechEmbedder
+
+    embedder = SpeechEmbedder(hidden=ge2e.model.hidden,
+                              num_layers=ge2e.model.num_layer,
+                              proj=ge2e.model.proj)
+    loss_mod = GE2ELoss()
+    batcher = SpeakerBatcher(ge2e.data.train_path, ge2e.train.M, shuffle=True,
+                             seed=seed)
+    init_fn, step_fn = make_ge2e_train_step(embedder, loss_mod, ge2e.train.lr)
+
+    batch = batcher.sample_batch(ge2e.train.N)
+    params, opt_state = init_fn(jax.random.PRNGKey(seed), batch)
+    os.makedirs(ge2e.train.checkpoint_dir, exist_ok=True)
+
+    epochs = max_epochs or ge2e.train.epochs
+    iteration = 0
+    batches_per_epoch = max(1, len(batcher) // ge2e.train.N)
+    import jax.numpy as jnp
+    for e in range(epochs):
+        total = 0.0
+        for b in range(batches_per_epoch):
+            batch = jnp.asarray(batcher.sample_batch(ge2e.train.N))
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+            total += float(loss)
+            iteration += 1
+            if verbose and (b + 1) % ge2e.train.log_interval == 0:
+                msg = (f"Epoch:{e+1}[{b+1}/{batches_per_epoch}],"
+                       f"Iteration:{iteration}\tLoss:{float(loss):.4f}\t"
+                       f"TLoss:{total/(b+1):.4f}")
+                print(msg)
+                if ge2e.train.log_file:
+                    os.makedirs(os.path.dirname(ge2e.train.log_file) or ".",
+                                exist_ok=True)
+                    with open(ge2e.train.log_file, "a") as f:
+                        f.write(msg + "\n")
+        if (e + 1) % ge2e.train.checkpoint_interval == 0:
+            _save_ge2e_ckpt(params, ge2e.train.checkpoint_dir,
+                            f"ckpt_epoch_{e+1}.npz")
+    _save_ge2e_ckpt(params, ge2e.train.checkpoint_dir,
+                    f"final_epoch_{epochs}.npz")
+    return params
+
+
+def _save_ge2e_ckpt(params, ckpt_dir: str, name: str) -> None:
+    import jax
+
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params)}
+    np.savez(os.path.join(ckpt_dir, name), **flat)
+
+
+def load_ge2e_params(path: str, embedder, proj: int):
+    """Load either our .npz checkpoints or a reference torch state_dict."""
+    if path.endswith((".model", ".pth", ".pt")):
+        from spoofsv_tpu.utils.torch_import import import_ge2e_embedder
+
+        return import_ge2e_embedder(path)
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    # rebuild structure by unflattening the saved paths
+    tree: Dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    # training checkpoints wrap {embedder, loss}; apply() wants the embedder's
+    # own {"params": ...} tree
+    if "embedder" in tree:
+        tree = tree["embedder"]
+    return tree
+
+
+# ----------------------------------------------------------------------
+# Test harness: EER + spoof rate
+# ----------------------------------------------------------------------
+
+def build_sim_matrix(embedder, emb_params, batch: np.ndarray,
+                     enroll_num: int) -> np.ndarray:
+    """(N, M, F, T) test batch → similarity matrix (N, M-2e, N)
+    (``GE2E/train_speech_embedder.py:131-165``)."""
+    import jax.numpy as jnp
+
+    from spoofsv_tpu.models.ge2e import get_centroids, get_cossim
+
+    n, m = batch.shape[0], batch.shape[1]
+    es1 = 2 * enroll_num
+    enroll = jnp.asarray(batch[:, :es1].reshape(n * es1, *batch.shape[2:]))
+    verif = jnp.asarray(batch[:, es1:].reshape(n * (m - es1), *batch.shape[2:]))
+    e_enroll = embedder.apply(emb_params, enroll).reshape(n, es1, -1)
+    e_verif = embedder.apply(emb_params, verif).reshape(n, m - es1, -1)
+    centroids = get_centroids(e_enroll)
+    sim = get_cossim(e_verif, centroids)
+    return np.asarray(sim)
+
+
+def eer_sweep(sim: np.ndarray, enroll_num: int, with_spoof: bool = True
+              ) -> Dict[str, float]:
+    """Threshold sweep 0.5+0.01·i (``GE2E/train_speech_embedder.py:176-196``).
+
+    Returns EER, threshold, FAR, FRR and — when ``with_spoof`` — the gt-FRR and
+    spoof-rate at the EER threshold (verification rows = [real | spoof], each
+    half 2·eval crops).
+    """
+    n, n_verif, _ = sim.shape
+    es1 = 2 * enroll_num
+    size_1 = n_verif + es1
+    best = {"diff": 1.0, "EER": 0.0, "thresh": 0.0, "FAR": 0.0, "FRR": 0.0,
+            "gt_FRR": 0.0, "spoof_rate": 0.0}
+    half = n_verif // 2
+    for i in range(50):
+        thres = 0.5 + 0.01 * i
+        t = sim > thres
+        far = sum(t[j].sum() - t[j, :, j].sum() for j in range(n)) / (n - 1) / n_verif / n
+        frr = sum(n_verif - t[j, :, j].sum() for j in range(n)) / n_verif / n
+        if with_spoof:
+            gtfrr = sum(half - t[j, :half, j].sum() for j in range(n)) / half / n
+            sr = sum(t[j, -half:, j].sum() for j in range(n)) / half / n
+        else:
+            gtfrr = frr
+            sr = 0.0
+        diff = abs(far - frr)
+        if diff < best["diff"]:
+            best = {"diff": diff, "EER": (far + frr) / 2, "thresh": thres,
+                    "FAR": float(far), "FRR": float(frr),
+                    "gt_FRR": float(gtfrr), "spoof_rate": float(sr)}
+    return best
+
+
+def spoof_rate_at_threshold(sim: np.ndarray, threshold: float,
+                            eval_num: int) -> float:
+    """Spoof rate of the mixed simmat at an external (clean-EER) threshold
+    (``GE2E/train_speech_embedder.py:313-322``)."""
+    n = sim.shape[0]
+    t = sim > threshold
+    return float(sum(t[j, -2 * eval_num:, j].sum() for j in range(n))
+                 / (2 * eval_num) / n)
+
+
+def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
+                        eval_num: int = 20, model_path: Optional[str] = None,
+                        epochs: Optional[int] = None, verbose: bool = True
+                        ) -> Dict[str, float]:
+    """Full reference evaluation protocol (``train_speech_embedder.py:300-322``):
+    mixed test (EER + SR-at-EER), no-spoof test (clean threshold), then the
+    final average spoof rate of saved mixed simmats at the clean threshold."""
+    import jax
+
+    from spoofsv_tpu.models.ge2e import SpeechEmbedder
+
+    embedder = SpeechEmbedder(hidden=ge2e.model.hidden,
+                              num_layers=ge2e.model.num_layer,
+                              proj=ge2e.model.proj)
+    params = load_ge2e_params(model_path or ge2e.model.model_path, embedder,
+                              ge2e.model.proj)
+
+    batcher = SpeakerBatcher(ge2e.data.test_path, ge2e.test.M, shuffle=False)
+    os.makedirs(ge2e.save_simmat_dir, exist_ok=True)
+
+    n_epochs = epochs or ge2e.test.epochs
+    simmats = []
+    mixed_results = []
+    clean_thresholds = []
+    for e in range(n_epochs):
+        for bi, batch in enumerate(batcher.ordered_batches(ge2e.test.N)):
+            sim = build_sim_matrix(embedder, params, batch, enroll_num)
+            np.save(os.path.join(ge2e.save_simmat_dir,
+                                 f"simmat_e{e+1}_b{bi+1}.npy"), sim)
+            simmats.append(sim)
+            r = eer_sweep(sim, enroll_num, with_spoof=True)
+            mixed_results.append(r)
+            # no-spoof pass: only the first 2·eval real verification rows
+            r_ns = eer_sweep(sim[:, : 2 * eval_num], enroll_num,
+                             with_spoof=False)
+            clean_thresholds.append(r_ns["thresh"])
+            if verbose:
+                print(f"epoch {e+1} batch {bi+1}: EER={r['EER']:.4f} "
+                      f"(thres {r['thresh']:.2f}) clean-thres {r_ns['thresh']:.2f}")
+    avg_eer = float(np.mean([r["EER"] for r in mixed_results]))
+    clean_thres = float(np.mean(clean_thresholds))
+    final_sr = float(np.mean([
+        spoof_rate_at_threshold(s, clean_thres, eval_num) for s in simmats]))
+    result = {"EER": avg_eer, "clean_threshold": clean_thres,
+              "spoof_rate": final_sr,
+              "spoof_rate_at_eer": float(np.mean(
+                  [r["spoof_rate"] for r in mixed_results])),
+              "gt_FRR": float(np.mean([r["gt_FRR"] for r in mixed_results]))}
+    if verbose:
+        print(json.dumps(result, indent=2))
+    return result

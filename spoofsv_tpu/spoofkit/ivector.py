@@ -1,0 +1,405 @@
+"""i-vector + PLDA speaker-verification pipeline (native C++ backend).
+
+Python orchestration of ``libspoofkit`` (``spoofsv_tpu/native``) that replaces
+the reference's external-Kaldi driver (``kaldi_ivectors/run.sh``): MFCC +
+energy VAD + sliding CMVN → diag UBM → i-vector extractor (T-matrix EM) →
+PLDA → trial scoring → EER and spoof rate. Stage structure mirrors run.sh:
+
+  1. feature extraction over the staged ``ivector_data`` wavs (:92-103);
+  2. UBM / extractor / PLDA training on the train speakers (:105-129);
+  3. enroll/eval split (first ``enroll_num`` utts enroll — run.sh:131-139 via
+     local/split_data_enroll_eval.py) and all-vs-all trials;
+  4. PLDA scoring + EER on the mixed set, then the no-spoof copy for the clean
+     threshold, then spoof rate at that threshold
+     (:141-218 + ivector_spoofrate.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.dsp import host as dsp_host
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB = None
+
+c_double_p = ctypes.POINTER(ctypes.c_double)
+c_float_p = ctypes.POINTER(ctypes.c_float)
+
+
+def _load_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.join(_NATIVE_DIR, "libspoofkit.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.sk_mfcc_new.restype = ctypes.c_void_p
+    lib.sk_mfcc_new.argtypes = [ctypes.c_int] * 3
+    lib.sk_mfcc_free.argtypes = [ctypes.c_void_p]
+    lib.sk_mfcc_num_frames.restype = ctypes.c_int
+    lib.sk_mfcc_num_frames.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sk_mfcc_compute.argtypes = [ctypes.c_void_p, c_float_p, ctypes.c_int,
+                                    c_double_p, c_double_p]
+    lib.sk_energy_vad.argtypes = [c_double_p, ctypes.c_int, ctypes.c_double,
+                                  ctypes.c_double, ctypes.c_int,
+                                  ctypes.c_double,
+                                  ctypes.POINTER(ctypes.c_uint8)]
+    lib.sk_cmvn_sliding.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int]
+    lib.sk_train_diag_ubm.restype = ctypes.c_void_p
+    lib.sk_train_diag_ubm.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_uint64, ctypes.c_int]
+    lib.sk_diag_ubm_get.argtypes = [ctypes.c_void_p] + [c_double_p] * 3
+    lib.sk_diag_ubm_from.restype = ctypes.c_void_p
+    lib.sk_diag_ubm_from.argtypes = [c_double_p] * 3 + [ctypes.c_int] * 2
+    lib.sk_diag_ubm_free.argtypes = [ctypes.c_void_p]
+    lib.sk_acc_stats.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
+                                 ctypes.c_int, c_double_p, c_double_p]
+    lib.sk_train_ivector.restype = ctypes.c_void_p
+    lib.sk_train_ivector.argtypes = [c_double_p, c_double_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, c_double_p,
+                                     c_double_p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_uint64, ctypes.c_int]
+    lib.sk_extract_ivector.argtypes = [ctypes.c_void_p, c_double_p, c_double_p,
+                                       c_double_p]
+    lib.sk_ivector_free.argtypes = [ctypes.c_void_p]
+    lib.sk_train_plda.restype = ctypes.c_void_p
+    lib.sk_train_plda.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                                  ctypes.c_int]
+    lib.sk_plda_transform.argtypes = [ctypes.c_void_p, c_double_p, c_double_p]
+    lib.sk_plda_llr.restype = ctypes.c_double
+    lib.sk_plda_llr.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
+                                c_double_p]
+    lib.sk_plda_free.argtypes = [ctypes.c_void_p]
+    lib.sk_compute_eer.restype = ctypes.c_double
+    lib.sk_compute_eer.argtypes = [c_double_p, ctypes.c_int, c_double_p,
+                                   ctypes.c_int, c_double_p]
+    _LIB = lib
+    return lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(c_double_p)
+
+
+# ----------------------------------------------------------------------
+# Feature extraction
+# ----------------------------------------------------------------------
+
+def mfcc_vad_features(wav_path: str, sr: int = 16000, num_mel: int = 40,
+                      num_ceps: int = 20, cmvn_window: int = 300
+                      ) -> np.ndarray:
+    """MFCC → sliding CMVN → keep voiced frames. (T_voiced, num_ceps)."""
+    lib = _load_lib()
+    y, _ = dsp_host.load_wav(wav_path, sr=sr)
+    # Kaldi convention: samples in int16 range — the energy-VAD thresholds
+    # (vad.conf: energy-threshold 5.5) assume that scale.
+    y = np.ascontiguousarray(y * 32768.0, np.float32)
+    h = lib.sk_mfcc_new(sr, num_mel, num_ceps)
+    try:
+        T = lib.sk_mfcc_num_frames(h, len(y))
+        if T <= 0:
+            return np.zeros((0, num_ceps), np.float64)
+        feats = np.zeros((T, num_ceps), np.float64)
+        log_e = np.zeros((T,), np.float64)
+        lib.sk_mfcc_compute(h, y.ctypes.data_as(c_float_p), len(y),
+                            _dp(feats), _dp(log_e))
+    finally:
+        lib.sk_mfcc_free(h)
+    voiced = np.zeros((T,), np.uint8)
+    # kaldi vad.conf defaults: energy-threshold 5.5, mean-scale 0.5
+    lib.sk_energy_vad(_dp(log_e), T, 5.5, 0.5, 2, 0.6,
+                      voiced.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    lib.sk_cmvn_sliding(_dp(feats), T, num_ceps, cmvn_window)
+    return feats[voiced.astype(bool)]
+
+
+class UBM:
+    def __init__(self, weights: np.ndarray, means: np.ndarray, vars_: np.ndarray):
+        self.weights = weights
+        self.means = means
+        self.vars = vars_
+        self._handle = None
+
+    @classmethod
+    def train(cls, frames: np.ndarray, num_comp: int, iters: int = 4,
+              seed: int = 0, verbose: bool = False) -> "UBM":
+        lib = _load_lib()
+        frames = np.ascontiguousarray(frames, np.float64)
+        n, d = frames.shape
+        h = lib.sk_train_diag_ubm(_dp(frames), n, d, num_comp, iters, seed,
+                                  int(verbose))
+        w = np.zeros((num_comp,), np.float64)
+        m = np.zeros((num_comp, d), np.float64)
+        v = np.zeros((num_comp, d), np.float64)
+        lib.sk_diag_ubm_get(h, _dp(w), _dp(m), _dp(v))
+        lib.sk_diag_ubm_free(h)
+        return cls(w, m, v)
+
+    def handle(self):
+        if self._handle is None:
+            lib = _load_lib()
+            c, d = self.means.shape
+            self._handle = lib.sk_diag_ubm_from(
+                _dp(np.ascontiguousarray(self.weights)),
+                _dp(np.ascontiguousarray(self.means)),
+                _dp(np.ascontiguousarray(self.vars)), c, d)
+        return self._handle
+
+    def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        lib = _load_lib()
+        c, d = self.means.shape
+        feats = np.ascontiguousarray(feats, np.float64)
+        N = np.zeros((c,), np.float64)
+        F = np.zeros((c, d), np.float64)
+        lib.sk_acc_stats(self.handle(), _dp(feats), feats.shape[0], d,
+                         _dp(N), _dp(F))
+        return N, F
+
+    def save(self, path: str) -> None:
+        np.savez(path, weights=self.weights, means=self.means, vars=self.vars)
+
+    @classmethod
+    def load(cls, path: str) -> "UBM":
+        z = np.load(path)
+        return cls(z["weights"], z["means"], z["vars"])
+
+
+class IvectorExtractor:
+    def __init__(self, handle, ivec_dim: int):
+        self._handle = handle
+        self.ivec_dim = ivec_dim
+
+    @classmethod
+    def train(cls, ubm: UBM, stats: Sequence[Tuple[np.ndarray, np.ndarray]],
+              ivec_dim: int = 100, iters: int = 5, seed: int = 0,
+              verbose: bool = False) -> "IvectorExtractor":
+        lib = _load_lib()
+        c, d = ubm.means.shape
+        u = len(stats)
+        allN = np.ascontiguousarray(np.stack([s[0] for s in stats]), np.float64)
+        allF = np.ascontiguousarray(np.stack([s[1] for s in stats]), np.float64)
+        h = lib.sk_train_ivector(
+            _dp(np.ascontiguousarray(ubm.means)),
+            _dp(np.ascontiguousarray(ubm.vars)), c, d, ivec_dim,
+            _dp(allN), _dp(allF), u, iters, seed, int(verbose))
+        return cls(h, ivec_dim)
+
+    def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
+        lib = _load_lib()
+        out = np.zeros((self.ivec_dim,), np.float64)
+        lib.sk_extract_ivector(self._handle,
+                               _dp(np.ascontiguousarray(N, np.float64)),
+                               _dp(np.ascontiguousarray(F, np.float64)),
+                               _dp(out))
+        return out
+
+
+class PLDA:
+    def __init__(self, handle, dim: int):
+        self._handle = handle
+        self.dim = dim
+
+    @classmethod
+    def train(cls, ivecs: np.ndarray, labels: np.ndarray,
+              verbose: bool = False) -> "PLDA":
+        lib = _load_lib()
+        ivecs = np.ascontiguousarray(ivecs, np.float64)
+        labels = np.ascontiguousarray(labels, np.int32)
+        n, d = ivecs.shape
+        h = lib.sk_train_plda(_dp(ivecs), n, d,
+                              labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                              int(labels.max()) + 1, int(verbose))
+        return cls(h, d)
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        lib = _load_lib()
+        out = np.zeros((self.dim,), np.float64)
+        lib.sk_plda_transform(self._handle,
+                              _dp(np.ascontiguousarray(x, np.float64)), _dp(out))
+        return out
+
+    def llr(self, enroll_mean_t: np.ndarray, n_enroll: int,
+            test_t: np.ndarray) -> float:
+        lib = _load_lib()
+        return float(lib.sk_plda_llr(
+            self._handle, _dp(np.ascontiguousarray(enroll_mean_t, np.float64)),
+            n_enroll, _dp(np.ascontiguousarray(test_t, np.float64))))
+
+
+def compute_eer(target: np.ndarray, nontarget: np.ndarray
+                ) -> Tuple[float, float]:
+    lib = _load_lib()
+    thr = ctypes.c_double(0.0)
+    eer = lib.sk_compute_eer(
+        _dp(np.ascontiguousarray(target, np.float64)), len(target),
+        _dp(np.ascontiguousarray(nontarget, np.float64)), len(nontarget),
+        ctypes.byref(thr))
+    return float(eer), float(thr.value)
+
+
+def length_normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x)
+    return x * (np.sqrt(len(x)) / n) if n > 0 else x
+
+
+# ----------------------------------------------------------------------
+# Pipeline (run.sh equivalent)
+# ----------------------------------------------------------------------
+
+def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
+                         eval_num: int = 20, num_gauss: int = 256,
+                         ivec_dim: int = 100, max_train_utts_per_spk: int = 40,
+                         ubm_frames_cap: int = 200_000, seed: int = 0,
+                         workers: int = 8, verbose: bool = True
+                         ) -> Dict[str, float]:
+    """Full evaluation: train UBM/T/PLDA on the staged train speakers, score
+    mixed + no-spoof trials, report EER / clean threshold / spoof rate.
+
+    Defaults are scaled down from Kaldi aishell v1 (1024 Gauss / 400-dim
+    i-vectors — run.sh:105-129) to fit a single-machine run; both are knobs.
+    """
+    import concurrent.futures
+
+    root = os.path.join(cfg.src_root_dir, "test", ctime, "ivector_data")
+    train_dir = os.path.join(root, "wav", "train")
+    test_dir = os.path.join(root, "wav", "test")
+    ns_dir = os.path.join(root, "test_nospoof")
+
+    rng = np.random.default_rng(seed)
+
+    def utt_feats(args):
+        return mfcc_vad_features(args)
+
+    # ---- 1. features for train speakers
+    train_items: List[Tuple[str, str]] = []
+    for spk in sorted(os.listdir(train_dir)):
+        utts = sorted(os.listdir(os.path.join(train_dir, spk)))
+        if max_train_utts_per_spk:
+            utts = utts[:max_train_utts_per_spk]
+        train_items += [(spk, os.path.join(train_dir, spk, u)) for u in utts]
+    if verbose:
+        print(f"[ivector] extracting features for {len(train_items)} train utts")
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        train_feats = list(ex.map(lambda it: mfcc_vad_features(it[1]),
+                                  train_items))
+
+    # ---- 2. UBM on pooled (subsampled) frames
+    pool = np.concatenate([f for f in train_feats if len(f)], axis=0)
+    if len(pool) > ubm_frames_cap:
+        pool = pool[rng.choice(len(pool), ubm_frames_cap, replace=False)]
+    if verbose:
+        print(f"[ivector] training {num_gauss}-comp diag UBM on {len(pool)} frames")
+    ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose)
+
+    # ---- 3. stats + T-matrix
+    if verbose:
+        print("[ivector] accumulating stats + training T matrix")
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        stats = list(ex.map(ubm.acc_stats,
+                            [f for f in train_feats if len(f) > 0]))
+    kept = [i for i, f in enumerate(train_feats) if len(f) > 0]
+    extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim, iters=5,
+                                       seed=seed, verbose=verbose)
+
+    # ---- 4. train i-vectors + PLDA
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        train_ivecs = list(ex.map(lambda s: extractor.extract(*s), stats))
+    train_ivecs = np.stack(train_ivecs)
+    spk_names = sorted({train_items[i][0] for i in kept})
+    spk_idx = {s: i for i, s in enumerate(spk_names)}
+    labels = np.asarray([spk_idx[train_items[i][0]] for i in kept], np.int32)
+    mean_ivec = train_ivecs.mean(axis=0)
+    normed = np.stack([length_normalize(v - mean_ivec) for v in train_ivecs])
+    if verbose:
+        print(f"[ivector] training PLDA on {len(normed)} ivecs / {len(spk_names)} spk")
+    plda = PLDA.train(normed, labels, verbose=verbose)
+
+    def utterance_ivector(path: str) -> Optional[np.ndarray]:
+        f = mfcc_vad_features(path)
+        if len(f) == 0:
+            return None
+        iv = extractor.extract(*ubm.acc_stats(f))
+        return plda.transform(length_normalize(iv - mean_ivec))
+
+    def score_testdir(d: str, with_index_split: bool = True):
+        """Enroll = first enroll_num utts per speaker (split_data_enroll_eval.py),
+        score all eval utts against every enrolled speaker."""
+        scores = []  # (enroll_spk, test_spk, utt_index, llr)
+        spks = sorted(os.listdir(d))
+        enroll: Dict[str, Tuple[np.ndarray, int]] = {}
+        evals: Dict[str, List[Tuple[int, np.ndarray]]] = {}
+        for spk in spks:
+            utts = sorted(os.listdir(os.path.join(d, spk)))
+            e_vecs = []
+            evals[spk] = []
+            for u in utts:
+                idx = int(u[-7:-4])
+                vec = utterance_ivector(os.path.join(d, spk, u))
+                if vec is None:
+                    continue
+                if idx <= enroll_num:
+                    e_vecs.append(vec)
+                else:
+                    evals[spk].append((idx, vec))
+            if e_vecs:
+                enroll[spk] = (np.mean(e_vecs, axis=0), len(e_vecs))
+        for espk, (emean, n) in enroll.items():
+            for tspk, lst in evals.items():
+                for idx, vec in lst:
+                    scores.append((espk, tspk, idx, plda.llr(emean, n, vec)))
+        return scores
+
+    if verbose:
+        print("[ivector] scoring mixed test set")
+    mixed_scores = score_testdir(test_dir)
+    if verbose:
+        print("[ivector] scoring no-spoof test set")
+    ns_scores = score_testdir(ns_dir)
+
+    def eer_of(scores):
+        tgt = np.asarray([s for e, t, i, s in scores if e == t])
+        non = np.asarray([s for e, t, i, s in scores if e != t])
+        return compute_eer(tgt, non)
+
+    mixed_eer, mixed_thr = eer_of(mixed_scores)
+    clean_eer, clean_thr = eer_of(ns_scores)
+    # spoof rate: target trials with utt index > enroll+eval are synthetic
+    # (ivector_spoofrate.py:12-24)
+    spoof_target = [s for e, t, i, s in mixed_scores
+                    if e == t and i > enroll_num + eval_num]
+    spoof_rate = (float(np.mean(np.asarray(spoof_target) > clean_thr))
+                  if spoof_target else 0.0)
+
+    # score files in the kaldi format curve.py parses (trial "<espk> <tspk>W<idx>")
+    score_dir = os.path.join(root, "scores")
+    os.makedirs(score_dir, exist_ok=True)
+    with open(os.path.join(score_dir, "plda_scores_mixed.txt"), "w") as f:
+        for e, t, i, s in mixed_scores:
+            f.write(f"{e} {t}W{str(i).zfill(3)} {s}\n")
+    with open(os.path.join(score_dir, "plda_scores_nospoof.txt"), "w") as f:
+        for e, t, i, s in ns_scores:
+            f.write(f"{e} {t}W{str(i).zfill(3)} {s}\n")
+
+    result = {"mixed_eer": mixed_eer, "clean_eer": clean_eer,
+              "clean_threshold": clean_thr, "spoof_rate": spoof_rate,
+              "n_mixed_trials": len(mixed_scores),
+              "n_spoof_targets": len(spoof_target)}
+    if verbose:
+        print(json.dumps(result, indent=2))
+    with open(os.path.join(score_dir, "result.json"), "w") as f:
+        json.dump(result, f)
+    return result

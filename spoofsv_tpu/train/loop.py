@@ -1,0 +1,320 @@
+"""Training orchestration: epochs, validation, checkpoint/resume, artifacts.
+
+Mirrors the reference trainers' observable behavior (``train/ordinary.py:130-293``,
+``train/adversarial_wasserstein_gp.py:148-451``):
+
+  * G/D alternation by global iteration (D on ``step % (RATIO+1) != 0``);
+  * validation every ``VAL_EVERY_ITER`` iterations runs the REAL autoregressive
+    decode path on the validate split plus one train batch;
+  * checkpoints carry generator+discriminator params, both optimizer states,
+    step, and loss logs; a tracked best model by min validation loss; directory
+    contract ``checkpoints/<pattern>/<adversarial|not_adversarial>/<ctime>/``;
+  * attention heatmap + loss-curve PNGs, plus structured JSONL metrics
+    (replacing stdout-print observability — SURVEY §5).
+
+Checkpointing is orbax; resume restores everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.train import steps as steps_mod
+from spoofsv_tpu.train.losses import guided_attention_matrix
+from spoofsv_tpu.train.state import AdvTrainState, TrainState
+
+
+# ----------------------------------------------------------------------
+# Artifacts
+# ----------------------------------------------------------------------
+
+class MetricsLogger:
+    """JSONL metrics + stdout echo."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._f = open(path, "a") if path else None
+
+    def log(self, record: Dict[str, Any]) -> None:
+        record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (np.floating, np.integer)) else v)
+                  for k, v in record.items()}
+        if self._f:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+def plot_attention(att: np.ndarray, iters: int, fig_dir: str) -> None:
+    """Attention heatmap PNG (``train/ordinary.py:30-44``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(fig_dir, exist_ok=True)
+    fig, ax = plt.subplots()
+    img = ax.imshow(np.asarray(att))
+    fig.colorbar(img)
+    plt.title(f"{iters} iterations")
+    plt.savefig(os.path.join(fig_dir, f"att_iteration_{iters}.png"), format="png")
+    plt.close(fig)
+
+
+def plot_losses(losses: Dict[str, List[float]], iters: int, fig_dir: str) -> None:
+    """GAN loss curves (``train/adversarial_wasserstein_gp.py:45-63``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(fig_dir, exist_ok=True)
+    fig1, ax1 = plt.subplots(2, 1)
+    fig1.tight_layout()
+    ax1[0].set_title("Discriminator Train Loss")
+    ax1[1].set_title("Wasserstein Distance")
+    ax1[0].plot(losses.get("t_d", []), color="green")
+    ax1[1].plot(losses.get("wd", []), color="purple")
+    plt.savefig(os.path.join(fig_dir, f"DiscriminatorTrainLoss_iteration_{iters}.png"))
+    plt.close(fig1)
+    fig2, ax2 = plt.subplots(2, 1)
+    fig2.tight_layout()
+    ax2[0].set_title("Generator Train Loss")
+    ax2[1].set_title("Generator Train Loss (From Discriminator)")
+    ax2[0].plot(losses.get("t_s", []), color="blue")
+    ax2[1].plot(losses.get("t_s_o", []), color="orange")
+    plt.savefig(os.path.join(fig_dir, f"GeneratorTrainLoss_iteration_{iters}.png"))
+    plt.close(fig2)
+
+
+# ----------------------------------------------------------------------
+# Checkpointing (orbax)
+# ----------------------------------------------------------------------
+
+class CheckpointManager:
+    """Orbax-backed checkpoints following the reference's directory contract.
+
+    ``<root>/<pattern>/<adversarial|not_adversarial>/<ctime>/<tag>`` where tag
+    is ``{text2mel|ssrn}_iteration_N`` or ``*_best_model``
+    (``train/ordinary.py:271-284``)."""
+
+    def __init__(self, cfg: Config, pattern: str, adversarial: bool, ctime: str,
+                 train_kind: str):
+        self.base = os.path.join(
+            cfg.src_root_dir, "checkpoints", pattern,
+            "adversarial" if adversarial else "not_adversarial", ctime)
+        os.makedirs(self.base, exist_ok=True)
+        self.prefix = train_kind[6:]  # 'text2mel' | 'ssrn' (train_step[6:])
+        import orbax.checkpoint as ocp
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.abspath(os.path.join(self.base, tag))
+
+    def save(self, state, host_meta: Dict[str, Any], iteration: int,
+             best: bool = False) -> str:
+        tag = (f"{self.prefix}_best_model" if best
+               else f"{self.prefix}_iteration_{iteration}")
+        path = self._path(tag)
+        self._ckpt.save(path, state, force=True)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(host_meta, f)
+        return path
+
+    def restore(self, path: str, target):
+        state = self._ckpt.restore(os.path.abspath(path), target)
+        meta_path = path + ".meta.json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return state, meta
+
+
+# ----------------------------------------------------------------------
+# Validation with the real AR decode path
+# ----------------------------------------------------------------------
+
+def make_ar_validator(melsyn, cfg: Config):
+    """AR-decode a batch to GT length and score L1+BD+attention vs GT —
+    the reference validation procedure (``train/ordinary.py:46-127``)."""
+    from spoofsv_tpu.infer.decode import make_decoder
+    from spoofsv_tpu.train.losses import (
+        binary_divergence, guided_attention_loss, l1_loss)
+
+    gaw = jnp.asarray(guided_attention_matrix(cfg.max_text_len, cfg.max_frame_num))
+    decoders: Dict[int, Any] = {}
+
+    def validate_batch(params, batch) -> Dict[str, float]:
+        t = batch["mel"].shape[1]
+        if t not in decoders:
+            decoders[t] = make_decoder(melsyn, t)
+        y, a, _ = decoders[t](params, batch["text"], batch["spk"])
+        l1 = l1_loss(batch["mel"], y)
+        bd = binary_divergence(batch["mel"], y)
+        att = guided_attention_loss(a, gaw)
+        loss = l1 + bd + att
+        return {"l1": float(l1), "bd": float(bd), "att": float(att),
+                "loss": float(loss)}
+
+    return validate_batch
+
+
+def make_ssrn_validator(ssrn, cfg: Config):
+    from spoofsv_tpu.train.losses import binary_divergence, l1_loss
+
+    @jax.jit
+    def _fwd(params, mel):
+        return ssrn.apply(params, mel)
+
+    def validate_batch(params, batch) -> Dict[str, float]:
+        y = _fwd(params, batch["mel"])
+        l1 = l1_loss(batch["lin"], y)
+        bd = binary_divergence(batch["lin"], y)
+        return {"l1": float(l1), "bd": float(bd), "loss": float(l1 + bd)}
+
+    return validate_batch
+
+
+# ----------------------------------------------------------------------
+# Trainer
+# ----------------------------------------------------------------------
+
+class Trainer:
+    """Drives ordinary or adversarial training with the reference's cadence."""
+
+    def __init__(self, cfg: Config, gen_model, train_kind: str,
+                 pattern: str = "conditional", adversarial: bool = False,
+                 gan_type: str = "wgan-gp", disc_model=None,
+                 ctime: str = "dev", use_masks: bool = False,
+                 validate_with_decode: bool = True):
+        self.cfg = cfg
+        self.gen_model = gen_model
+        self.train_kind = train_kind
+        self.adversarial = adversarial
+        self.ckpt = CheckpointManager(cfg, pattern, adversarial, ctime, train_kind)
+        self.fig_dir = os.path.join(self.ckpt.base, "fig")
+        self.metrics = MetricsLogger(os.path.join(self.ckpt.base, "metrics.jsonl"))
+        self.loss_val_log: List[float] = []
+        self.loss_logs: Dict[str, List[float]] = {
+            "wd": [], "t_s": [], "t_s_o": [], "t_d": []}
+
+        if adversarial:
+            assert disc_model is not None
+            self.init_fn, self.g_step, self.d_step = steps_mod.make_adversarial_steps(
+                gen_model, disc_model, cfg, train_kind, gan_type, use_masks)
+        else:
+            self.init_fn, self.step_fn = steps_mod.make_ordinary_step(
+                gen_model, cfg, train_kind, use_masks)
+
+        if train_kind == "train_text2mel" and validate_with_decode:
+            self.validator = make_ar_validator(gen_model, cfg)
+        elif train_kind == "train_ssrn":
+            self.validator = make_ssrn_validator(gen_model, cfg)
+        else:
+            self.validator = None
+
+        self.state = None
+        self.iteration = 0
+        self.epoch = 0
+
+    # -- lifecycle ----------------------------------------------------------
+    def init(self, rng, batch):
+        self.state = self.init_fn(rng, batch)
+        return self.state
+
+    def resume(self, path: str, example_batch):
+        target = self.init_fn(jax.random.PRNGKey(0), example_batch)
+        self.state, meta = self.ckpt.restore(path, target)
+        self.iteration = int(meta.get("iteration", 0))
+        self.epoch = int(meta.get("epoch", 0))
+        self.loss_val_log = meta.get("loss_val_log", [])
+        self.loss_logs = meta.get("loss_logs", self.loss_logs)
+
+    def _host_meta(self) -> Dict[str, Any]:
+        return {"iteration": self.iteration, "epoch": self.epoch,
+                "loss_val_log": self.loss_val_log, "loss_logs": self.loss_logs}
+
+    # -- one iteration ------------------------------------------------------
+    def train_iteration(self, batch, rng) -> Dict[str, float]:
+        if self.adversarial:
+            is_g = self.iteration % (self.cfg.ratio + 1) == 0
+            if is_g:
+                self.state, m = self.g_step(self.state, batch, rng)
+                self.loss_logs["t_s"].append(float(m["loss"]))
+                self.loss_logs["t_s_o"].append(float(m["loss_disc"]))
+            else:
+                self.state, m = self.d_step(self.state, batch, rng)
+                self.loss_logs["t_d"].append(float(m["loss_d"]))
+                self.loss_logs["wd"].append(float(m["wd"]))
+        else:
+            self.state, m = self.step_fn(self.state, batch, rng)
+        self.iteration += 1
+        return {k: float(v) for k, v in m.items()}
+
+    def _gen_params(self):
+        return (self.state.gen_params if self.adversarial else self.state.params)
+
+    # -- validation + checkpoint cadence -------------------------------------
+    def maybe_validate_and_checkpoint(self, val_batches: Iterable,
+                                     train_batch=None) -> Optional[float]:
+        if self.iteration % self.cfg.val_every_iter != 0 or self.iteration == 0:
+            return None
+        params = self._gen_params()
+        losses = []
+        for vb in val_batches:
+            r = self.validator(params, vb)
+            self.metrics.log(dict(r, split="validate", iteration=self.iteration))
+            losses.append(r["loss"])
+        if train_batch is not None and self.validator is not None:
+            r = self.validator(params, train_batch)
+            self.metrics.log(dict(r, split="train_probe", iteration=self.iteration))
+        loss_val = float(np.mean(losses)) if losses else float("nan")
+        self.loss_val_log.append(loss_val)
+        meta = self._host_meta()
+        if losses and self.loss_val_log.index(min(self.loss_val_log)) == len(self.loss_val_log) - 1:
+            self.ckpt.save(self.state, meta, self.iteration, best=True)
+        self.ckpt.save(self.state, meta, self.iteration)
+        return loss_val
+
+    # -- full loop ----------------------------------------------------------
+    def fit(self, train_loader_factory, val_loader_factory=None,
+            max_epochs: Optional[int] = None, rng_seed: int = 0,
+            max_iterations: Optional[int] = None, plot: bool = False):
+        """train_loader_factory() → iterable of batches (one epoch)."""
+        key = jax.random.PRNGKey(rng_seed)
+        max_epochs = max_epochs or self.cfg.max_epochs
+        last_batch = None
+        while self.epoch < max_epochs:
+            for batch in train_loader_factory():
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.state is None:
+                    self.init(jax.random.PRNGKey(rng_seed), batch)
+                key, sub = jax.random.split(key)
+                t0 = time.time()
+                m = self.train_iteration(batch, sub)
+                m["sec_per_iter"] = time.time() - t0
+                self.metrics.log(dict(m, split="train", iteration=self.iteration,
+                                      epoch=self.epoch))
+                last_batch = batch
+                if self.validator is not None and val_loader_factory is not None:
+                    vb = [
+                        {k: jnp.asarray(v) for k, v in b.items()}
+                        for b in val_loader_factory()]
+                    lv = self.maybe_validate_and_checkpoint(vb, last_batch)
+                    if lv is not None and plot:
+                        plot_losses(self.loss_logs, self.iteration, self.fig_dir)
+                if max_iterations and self.iteration >= max_iterations:
+                    return self.state
+            self.epoch += 1
+        return self.state

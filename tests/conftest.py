@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: XLA compiles dominate suite wall time on CPU.
+jax.config.update("jax_compilation_cache_dir", "/tmp/spoofsv_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 if not os.environ.get("SPOOFSV_TEST_TPU"):
     # The TPU-tunnel site hook force-sets jax_platforms="axon,cpu" at its

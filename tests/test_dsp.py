@@ -155,6 +155,35 @@ class TestFeatures:
         assert lin.shape[0] == cfg.mel.reduction * mel.shape[0]
 
 
+class TestDFTMatmul:
+    def test_rfft_matmul_matches_fft(self):
+        rng = np.random.default_rng(7)
+        frames = jnp.asarray(rng.normal(size=(3, 5, 1024)), jnp.float32)
+        re1, im1 = jaxdsp.rfft_ri(frames, 1024, use_matmul=False)
+        re2, im2 = jaxdsp.rfft_ri(frames, 1024, use_matmul=True)
+        np.testing.assert_allclose(np.asarray(re1), np.asarray(re2), atol=2e-2, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(im1), np.asarray(im2), atol=2e-2, rtol=1e-4)
+
+    def test_irfft_matmul_roundtrip(self):
+        rng = np.random.default_rng(8)
+        frames = jnp.asarray(rng.normal(size=(2, 1024)), jnp.float32)
+        re, im = jaxdsp.rfft_ri(frames, 1024, use_matmul=True)
+        back = jaxdsp.irfft_ri(re, im, 1024, use_matmul=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(frames), atol=1e-3)
+
+    def test_griffinlim_matmul_path_matches_fft_path(self):
+        """Same key → identical phase init → the two FFT backends must agree."""
+        y = chirp(n=HOP * 20)
+        mag = jnp.abs(jaxdsp.stft(jnp.asarray(y), N_FFT, HOP))
+        out_mm = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(2), N_FFT, HOP,
+                                    N_FFT, n_iter=8, use_matmul=True)
+        out_fft = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(2), N_FFT, HOP,
+                                     N_FFT, n_iter=8, use_matmul=False)
+        denom = float(jnp.abs(out_fft).max())
+        np.testing.assert_allclose(np.asarray(out_mm), np.asarray(out_fft),
+                                   atol=denom * 5e-3)
+
+
 class TestGriffinLim:
     def test_reconstruction_quality(self):
         # GL on a true magnitude spectrogram should reconstruct a signal whose

@@ -1,0 +1,117 @@
+"""Native libspoofkit tests: MFCC/VAD/UBM/i-vector/PLDA/EER on synthetic data."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "spoofsv_tpu", "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_lib():
+    subprocess.run(["make", "-C", NATIVE_DIR], check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def ivec():
+    from spoofsv_tpu.spoofkit import ivector as iv
+
+    return iv
+
+
+class TestMfcc:
+    def test_tone_features(self, ivec, tmp_path):
+        from spoofsv_tpu.dsp import host
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        y = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        host.write_wav(str(tmp_path / "tone.wav"), y, sr)
+        feats = ivec.mfcc_vad_features(str(tmp_path / "tone.wav"))
+        assert feats.shape[1] == 20
+        assert feats.shape[0] > 50          # ~97 frames, most voiced
+        assert np.isfinite(feats).all()
+        # sliding CMVN on a stationary tone → near-zero means
+        assert np.abs(feats.mean(axis=0)).max() < 1.5
+
+    def test_vad_rejects_silence(self, ivec, tmp_path):
+        from spoofsv_tpu.dsp import host
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        speech = 0.3 * np.sin(2 * np.pi * 300 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+        sig = np.concatenate([np.full(sr, 1e-4, np.float32),
+                              speech.astype(np.float32),
+                              np.full(sr, 1e-4, np.float32)])
+        host.write_wav(str(tmp_path / "sp.wav"), sig, sr)
+        feats = ivec.mfcc_vad_features(str(tmp_path / "sp.wav"))
+        # voiced frames ≈ speech duration (0.5 s → ~50 frames), not 2.5 s
+        assert 20 < feats.shape[0] < 120
+
+
+def synthetic_speakers(rng, n_spk=4, utts=8, frames=300, dim=8, n_centers=8):
+    """Textbook i-vector regime: shared acoustic mixture centers + a small
+    per-speaker supervector shift (speaker identity = mean offset, which is
+    exactly what the T-matrix models; distinct per-speaker clusters would be
+    absorbed into the UBM instead)."""
+    centers = rng.normal(0, 4.0, (n_centers, dim))
+    spk_shift = rng.normal(0, 0.8, (n_spk, dim))
+    data = []
+    for s in range(n_spk):
+        for _ in range(utts):
+            which = rng.integers(0, n_centers, frames)
+            f = centers[which] + spk_shift[s] + rng.normal(0, 0.7, (frames, dim))
+            data.append((s, f.astype(np.float64)))
+    return spk_shift, data
+
+
+class TestUbmIvectorPlda:
+    def test_ubm_recovers_clusters(self, ivec):
+        rng = np.random.default_rng(0)
+        centers = np.asarray([[-5.0, 0.0], [5.0, 0.0], [0.0, 6.0]])
+        frames = np.concatenate([
+            c + rng.normal(0, 0.5, (500, 2)) for c in centers])
+        ubm = ivec.UBM.train(frames, 3, iters=6, seed=1)
+        # each true center has a learned mean nearby
+        for c in centers:
+            d = np.linalg.norm(ubm.means - c, axis=1).min()
+            assert d < 0.5, (c, ubm.means)
+        np.testing.assert_allclose(ubm.weights.sum(), 1.0, atol=1e-6)
+
+    def test_full_stack_separates_speakers(self, ivec):
+        rng = np.random.default_rng(1)
+        _, data = synthetic_speakers(rng)
+        pool = np.concatenate([f for _, f in data])[::3]
+        ubm = ivec.UBM.train(pool, 8, iters=3, seed=2)
+        stats = [ubm.acc_stats(f) for _, f in data]
+        ext = ivec.IvectorExtractor.train(ubm, stats, ivec_dim=6, iters=3, seed=3)
+        ivecs = np.stack([ext.extract(*s) for s in stats])
+        labels = np.asarray([s for s, _ in data], np.int32)
+
+        mean = ivecs.mean(0)
+        normed = np.stack([ivec.length_normalize(v - mean) for v in ivecs])
+        plda = ivec.PLDA.train(normed, labels)
+        tr = np.stack([plda.transform(v) for v in normed])
+
+        # same-speaker LLRs should exceed different-speaker LLRs on average
+        same, diff = [], []
+        for i in range(len(tr)):
+            for j in range(i + 1, len(tr)):
+                llr = plda.llr(tr[i], 1, tr[j])
+                (same if labels[i] == labels[j] else diff).append(llr)
+        assert np.mean(same) > np.mean(diff)
+        eer, thr = ivec.compute_eer(np.asarray(same), np.asarray(diff))
+        assert eer < 0.2, f"EER {eer}"
+
+    def test_eer_known_values(self, ivec):
+        target = np.asarray([2.0, 3.0, 4.0, 5.0])
+        nontarget = np.asarray([-5.0, -4.0, -3.0, -2.0])
+        eer, thr = ivec.compute_eer(target, nontarget)
+        assert eer == 0.0
+        assert -2.0 <= thr <= 2.0
+        # fully overlapped → EER 0.5
+        eer2, _ = ivec.compute_eer(np.asarray([0.0, 1.0]), np.asarray([0.0, 1.0]))
+        assert 0.2 <= eer2 <= 0.8

@@ -1,0 +1,229 @@
+"""Train-step tests: loss math goldens, step mechanics, GAN variants, mesh DP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.models import LinDisc, MelDisc, MelSyn, SSRN
+from spoofsv_tpu.train import (
+    guided_attention_matrix,
+    make_adversarial_steps,
+    make_fused_adversarial_step,
+    make_ordinary_step,
+    shift_right,
+)
+from spoofsv_tpu.train.losses import (
+    binary_divergence,
+    guided_attention_loss,
+    l1_loss,
+)
+
+
+def tiny_cfg():
+    return Config().replace(hidden_dim=16, text_emb_dim=8, ssrn_dim=8,
+                            disc_dim=8, spk_emb_dim=12, max_text_len=24,
+                            max_frame_num=20)
+
+
+def tiny_models(cfg):
+    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
+                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim)
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim)
+    return melsyn, ssrn
+
+
+def tiny_batch(cfg, b=2, t=12, n=16, seed=0, with_lin=False):
+    rng = np.random.default_rng(seed)
+    batch = {
+        "mel": jnp.asarray(rng.uniform(0.05, 0.95, (b, t, cfg.mel.freq_bins)), jnp.float32),
+        "text": jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (b, n)), jnp.int32),
+        "spk": jnp.asarray(rng.normal(size=(b, cfg.spk_emb_dim)), jnp.float32),
+    }
+    if with_lin:
+        batch["lin"] = jnp.asarray(
+            rng.uniform(0.05, 0.95, (b, 4 * t, cfg.lin_bins)), jnp.float32)
+    return batch
+
+
+class TestLossGoldens:
+    def test_guided_attention_matrix_formula(self):
+        import math
+        W = guided_attention_matrix(7, 9)
+        for k1 in (0, 3, 6):
+            for k2 in (0, 4, 8):
+                ref = 1 - math.exp(-((k2 / 9 - k1 / 7) ** 2) / (2 * 0.2 ** 2))
+                assert abs(W[k1, k2] - ref) < 1e-6
+
+    def test_guided_attention_equals_sentinel_pad_formulation(self):
+        """Our direct slice/divide == the reference's −1-sentinel padding."""
+        rng = np.random.default_rng(0)
+        b, n, t, N, T = 3, 5, 7, 12, 16
+        A = jax.nn.softmax(jnp.asarray(rng.normal(size=(b, n, t))), axis=1)
+        gaw = jnp.asarray(guided_attention_matrix(N, T))
+        ours = guided_attention_loss(A, gaw)
+        # reference: pad to (N, T) with −1, mask ne(−1), broadcast gaw
+        A_aug = np.full((b, N, T), -1.0, np.float32)
+        A_aug[:, :n, :t] = np.asarray(A)
+        maskf = (A_aug != -1.0).astype(np.float32)
+        ref = (maskf * A_aug * np.asarray(gaw)[None]).sum() / maskf.sum()
+        np.testing.assert_allclose(float(ours), ref, rtol=1e-5)
+
+    def test_l1_and_bd_match_reference_formulas(self):
+        rng = np.random.default_rng(1)
+        gt = jnp.asarray(rng.uniform(0.1, 0.9, (2, 6, 4)), jnp.float32)
+        pred = jnp.asarray(rng.uniform(0.1, 0.9, (2, 6, 4)), jnp.float32)
+        np.testing.assert_allclose(
+            float(l1_loss(gt, pred)), float(np.mean(np.abs(np.asarray(gt - pred)))), rtol=1e-6)
+        g, p = np.asarray(gt), np.asarray(pred)
+        bd_ref = np.mean(-g * np.log(p + 1e-8) - (1 - g) * np.log(1 - p + 1e-8))
+        np.testing.assert_allclose(float(binary_divergence(gt, pred)), bd_ref, rtol=1e-6)
+
+    def test_masked_losses_ignore_padding(self):
+        gt = jnp.ones((1, 4, 3)) * 0.5
+        pred = jnp.concatenate([jnp.ones((1, 2, 3)) * 0.5,
+                                jnp.ones((1, 2, 3)) * 0.9], axis=1)
+        mask = jnp.asarray([[True, True, False, False]])
+        assert float(l1_loss(gt, pred, mask)) == 0.0
+        assert float(l1_loss(gt, pred)) > 0.0
+
+    def test_shift_right(self):
+        mel = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
+        s = shift_right(mel)
+        assert np.allclose(np.asarray(s[0, 0]), 0.0)
+        np.testing.assert_allclose(np.asarray(s[:, 1:]), np.asarray(mel[:, :-1]))
+
+
+class TestOrdinarySteps:
+    def test_text2mel_loss_decreases(self):
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        init_fn, step_fn = make_ordinary_step(melsyn, cfg, "train_text2mel")
+        batch = tiny_batch(cfg)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        first = last = None
+        for i in range(6):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(i))
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert last < first
+        assert int(state.step) == 6
+
+    def test_ssrn_loss_decreases(self):
+        cfg = tiny_cfg()
+        _, ssrn = tiny_models(cfg)
+        init_fn, step_fn = make_ordinary_step(ssrn, cfg, "train_ssrn")
+        batch = tiny_batch(cfg, with_lin=True)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        losses = []
+        for i in range(6):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+
+class TestAdversarialSteps:
+    @pytest.mark.parametrize("gan_type", ["wgan-gp", "wgan", "vanilla"])
+    def test_variants_run_and_are_finite(self, gan_type):
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        disc = MelDisc(disc_dim=cfg.disc_dim, sigmoid_out=(gan_type == "vanilla"))
+        init_fn, g_step, d_step = make_adversarial_steps(
+            melsyn, disc, cfg, "train_text2mel", gan_type)
+        batch = tiny_batch(cfg)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        state, gm = g_step(state, batch, jax.random.PRNGKey(1))
+        state, dm = d_step(state, batch, jax.random.PRNGKey(2))
+        for v in list(gm.values()) + list(dm.values()):
+            assert np.isfinite(float(v))
+        if gan_type == "wgan-gp":
+            assert "gp" in dm
+
+    def test_wgan_clips_weights(self):
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        disc = MelDisc(disc_dim=cfg.disc_dim)
+        init_fn, g_step, d_step = make_adversarial_steps(
+            melsyn, disc, cfg, "train_text2mel", "wgan")
+        batch = tiny_batch(cfg)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        state, _ = d_step(state, batch, jax.random.PRNGKey(1))
+        leaves = jax.tree_util.tree_leaves_with_path(state.disc_params)
+        checked = 0
+        for path, leaf in leaves:
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name == "kernel":
+                assert float(jnp.abs(leaf).max()) <= 0.1 + 1e-6
+                checked += 1
+        assert checked > 0
+
+    def test_gp_penalizes_grad_norm(self):
+        """The GP term must be ~λ at init for a near-zero critic (‖∇‖≈0 → λ·1)."""
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        disc = MelDisc(disc_dim=cfg.disc_dim)
+        init_fn, _, d_step = make_adversarial_steps(
+            melsyn, disc, cfg, "train_text2mel", "wgan-gp")
+        batch = tiny_batch(cfg)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        _, dm = d_step(state, batch, jax.random.PRNGKey(1))
+        gp = float(dm["gp"])
+        assert 0.0 < gp < 3 * cfg.gp_lambda
+
+    def test_ssrn_adversarial(self):
+        cfg = tiny_cfg()
+        _, ssrn = tiny_models(cfg)
+        disc = LinDisc(disc_dim=cfg.disc_dim)
+        init_fn, g_step, d_step = make_adversarial_steps(
+            ssrn, disc, cfg, "train_ssrn", "wgan-gp")
+        batch = tiny_batch(cfg, t=16, with_lin=True)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        state, gm = g_step(state, batch, jax.random.PRNGKey(1))
+        state, dm = d_step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(gm["loss"])) and np.isfinite(float(dm["loss_d"]))
+
+
+class TestDataParallel:
+    def test_fused_step_on_mesh(self):
+        """Full fused adversarial step data-parallel over the 8-device mesh."""
+        from spoofsv_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        disc = MelDisc(disc_dim=cfg.disc_dim)
+        init_fn, fused = make_fused_adversarial_step(melsyn, disc, cfg,
+                                                     "train_text2mel")
+        batch = tiny_batch(cfg, b=8)
+        state = init_fn(jax.random.PRNGKey(0), batch)
+        mesh = make_mesh(8)
+        state = replicate_tree(state, mesh)
+        sbatch = shard_batch(batch, mesh)
+        key = jax.random.PRNGKey(1)
+        state, m_g = fused(state, sbatch, key)
+        state, m_d = fused(state, sbatch, key)
+        assert np.isfinite(float(m_g["loss"]))
+        assert np.isfinite(float(m_d["wd"]))
+
+    def test_dp_matches_single_device(self):
+        """Sharded ordinary step == unsharded step (same math, collectives)."""
+        from spoofsv_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        init_fn, step_fn = make_ordinary_step(melsyn, cfg, "train_text2mel",
+                                              donate=False)
+        batch = tiny_batch(cfg, b=8)
+        state0 = init_fn(jax.random.PRNGKey(0), batch)
+        _, m_single = step_fn(state0, batch, jax.random.PRNGKey(1))
+
+        mesh = make_mesh(8)
+        state_r = replicate_tree(state0, mesh)
+        sbatch = shard_batch(batch, mesh)
+        _, m_dp = step_fn(state_r, sbatch, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
+                                   rtol=2e-4)
