@@ -49,26 +49,30 @@ def main() -> None:
                               jnp.float32)
 
     key = jax.random.PRNGKey(0)
-    melsyn_params = melsyn.init(key, shift_right(mel_example), text, spk)
-    ssrn_params = ssrn.init(key, mel_example)
+    melsyn_params = jax.jit(melsyn.init)(key, shift_right(mel_example), text, spk)
+    ssrn_params = jax.jit(ssrn.init)(key, mel_example)
 
     syn = Synthesizer(cfg, melsyn, ssrn, melsyn_params, ssrn_params,
                       n_frames=T, gl_iters=cfg.tpu.griffin_lim_iters)
 
     def run(k):
         audio, mel, attn = syn(text, spk, k)
-        return audio
+        # force full materialization: a scalar reduction fetched to host.
+        # (block_until_ready through the remote-TPU tunnel can return before
+        # the computation actually retires; fetching a value cannot.)
+        return audio, float(jnp.sum(jnp.abs(audio[:, ::997])))
 
     # warmup/compile
-    audio = run(jax.random.PRNGKey(1))
-    audio.block_until_ready()
+    audio, chk = run(jax.random.PRNGKey(1))
 
     iters = 3
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(iters):
-        audio = run(jax.random.PRNGKey(2 + i))
-    audio.block_until_ready()
+        audio, chk = run(jax.random.PRNGKey(2 + i))
+        acc += chk
     dt = (time.perf_counter() - t0) / iters
+    assert acc > 0
 
     audio_seconds = audio.shape[0] * audio.shape[1] / cfg.sampling_rate
     rtf_per_chip = audio_seconds / dt / max(1, 1)  # single-chip bench

@@ -211,22 +211,52 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
                     use_matmul=use_matmul)
 
 
-@jax.jit
-def deemphasis(x: jnp.ndarray, coeff: float = 0.97) -> jnp.ndarray:
-    """First-order IIR ``y[n] = x[n] + c*y[n-1]`` as a parallel associative scan.
+@functools.partial(jax.jit, static_argnames=("coeff", "block"))
+def deemphasis(x: jnp.ndarray, coeff: float = 0.97, block: int = 128) -> jnp.ndarray:
+    """First-order IIR ``y[n] = x[n] + c*y[n-1]``, fully parallel on TPU.
 
     The reference applies this per-utterance on CPU via scipy
-    (``synthesize.py:145``); here it is O(log L) depth on TPU and batched.
+    (``synthesize.py:145``). A naive ``lax.associative_scan`` over ~300k
+    samples produces an HLO graph the TPU compiler chokes on, and a per-block
+    ``lax.scan`` pays ~0.2 ms/step in dispatch. Instead:
+
+      * within ``block``-sample tiles the recurrence has the closed form
+        ``y_local[n] = c^n · cumsum(x[m]/c^m)`` (stable for c=0.97, block≤256:
+        c^-127 ≈ 49);
+      * across tiles the carry ``s_b = ends_b + c^block · s_{b-1}`` has
+        multiplier c^block ≈ 0.02, so it truncates *exactly* (below fp32 eps)
+        to a short causal convolution over a handful of previous tiles —
+        no sequential op anywhere.
     """
-    a = jnp.full_like(x, coeff)
+    c = jnp.float32(coeff)
+    orig_len = x.shape[-1]
+    lead = x.shape[:-1]
+    pad = (-orig_len) % block
+    xp = jnp.pad(x.astype(jnp.float32),
+                 [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nb = xp.shape[-1] // block
+    xb = xp.reshape(*lead, nb, block)
 
-    def combine(l, r):
-        al, bl = l
-        ar, br = r
-        return al * ar, br + ar * bl
+    n = jnp.arange(block, dtype=jnp.float32)
+    c_pow = jnp.power(c, n)              # c^n
+    c_inv = jnp.power(c, -n)             # c^-n
+    y_local = c_pow * jnp.cumsum(xb * c_inv, axis=-1)
+    ends = y_local[..., -1]              # (..., nb) block-final local values
 
-    _, y = jax.lax.associative_scan(combine, (a, x), axis=-1)
-    return y
+    ck = float(coeff) ** block
+    if ck > 0:
+        import math
+        j_terms = int(min(nb, max(1, math.ceil(math.log(1e-9) / math.log(ck)))))
+    else:
+        j_terms = 1
+    # s_{b-1} = Σ_{j≥1} ck^{j-1} · ends_{b-j}  (carry entering block b)
+    s_prev = jnp.zeros_like(ends)
+    for j in range(1, j_terms + 1):
+        shifted = jnp.pad(ends[..., : nb - j],
+                          [(0, 0)] * (ends.ndim - 1) + [(j, 0)])
+        s_prev = s_prev + (ck ** (j - 1)) * shifted
+    y = y_local + (c_pow * c) * s_prev[..., None]
+    return y.reshape(*lead, nb * block)[..., :orig_len]
 
 
 @jax.jit

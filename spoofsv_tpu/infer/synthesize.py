@@ -49,7 +49,7 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
             x = x / jnp.maximum(peak, 1e-8)
         spec = jnp.power(x, power)
         audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft, n_iter=n_iter)
-        return jaxdsp.deemphasis(audio, cfg.preemph)
+        return jaxdsp.deemphasis(audio, coeff=cfg.preemph)
 
     return vocode
 

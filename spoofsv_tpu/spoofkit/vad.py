@@ -40,9 +40,14 @@ def _energy_voiced_flags(y: np.ndarray, sr: int, frame_ms: int = 20,
     log_e = 20 * np.log10(e + 1e-12)
     floor = np.percentile(log_e, 10)
     peak = np.percentile(log_e, 95)
-    frac = 0.25 + 0.15 * aggressiveness
-    thresh = floor + frac * (peak - floor)
-    return log_e > thresh, n
+    if peak - floor < 15.0:
+        # no real silence floor in the recording (continuous audio) — treat
+        # everything above an absolute hum floor as voiced
+        thresh = min(floor, -55.0)
+    else:
+        frac = 0.25 + 0.15 * aggressiveness
+        thresh = floor + frac * (peak - floor)
+    return log_e >= thresh, n
 
 
 def vad_collector(y: np.ndarray, sr: int, frame_ms: int = 20,

@@ -116,7 +116,7 @@ class TestFilters:
     def test_jax_deemphasis_matches_scipy(self):
         y = chirp(4096)
         ref = host.deemphasis(y, 0.97)
-        ours = np.asarray(jaxdsp.deemphasis(jnp.asarray(y), 0.97))
+        ours = np.asarray(jaxdsp.deemphasis(jnp.asarray(y), coeff=0.97))
         np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
     def test_jax_preemphasis_matches_host(self):
