@@ -52,8 +52,10 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
         gen, disc = ssrn, lin_disc
         with_lin = True
 
-    train_src = TTSDataSource(cfg, "train", spec_dir, need_lin=with_lin)
-    val_src = TTSDataSource(cfg, "validate", spec_dir, need_lin=with_lin)
+    train_src = TTSDataSource(cfg, "train", spec_dir, need_lin=with_lin,
+                              pattern=args.pattern, stage=args.stage)
+    val_src = TTSDataSource(cfg, "validate", spec_dir, need_lin=with_lin,
+                            pattern=args.pattern, stage=args.stage)
 
     trainer = Trainer(cfg, gen, args.step, pattern=args.pattern,
                       adversarial=args.adversarial,
@@ -126,6 +128,8 @@ def main(argv=None) -> None:
     ps.add_argument("--save_spectrogram", action="store_true")
     ps.add_argument("-T", "--current_time", type=str, required=True, metavar="T")
     # TPU-native extras (no reference counterpart)
+    ps.add_argument("--stage", choices=["ubm", "finetune"], default=None,
+                    help="stage for the ubm-finetune pattern (data/dataset.py:53-77)")
     ps.add_argument("--masked_loss", action="store_true",
                     help="exclude padded frames from losses (reference averages over pads)")
     ps.add_argument("--max_iterations", type=int, default=None)

@@ -52,15 +52,26 @@ class TTSDataSource:
     """
 
     def __init__(self, cfg: Config, mode: str = "train",
-                 spec_dir: Optional[str] = None, need_lin: bool = True):
+                 spec_dir: Optional[str] = None, need_lin: bool = True,
+                 pattern: str = "conditional", stage: Optional[str] = None):
         self.cfg = cfg
         self.mode = mode
         self.spec_dir = spec_dir
         self.need_lin = need_lin
-        base = os.path.join(cfg.data_root_dir, "data_path", "ordinary")
-        with open(os.path.join(base, f"wav.path.{mode}")) as f:
+        if pattern == "ubm-finetune":
+            # ubm-finetune path lists (data/dataset.py:53-77): stage-specific
+            # files under data_path/ubm-finetune/
+            assert stage in ("ubm", "finetune"), "ubm-finetune needs a stage"
+            base = os.path.join(cfg.data_root_dir, "data_path", "ubm-finetune")
+            wav_name = f"wav.path.{stage}.{mode}"
+            txt_name = f"txt.path.{stage}.{mode}"
+        else:
+            base = os.path.join(cfg.data_root_dir, "data_path", "ordinary")
+            wav_name = f"wav.path.{mode}"
+            txt_name = f"txt.path.{mode}"
+        with open(os.path.join(base, wav_name)) as f:
             self.wav_paths = [l.strip() for l in f if l.strip()]
-        with open(os.path.join(base, f"txt.path.{mode}")) as f:
+        with open(os.path.join(base, txt_name)) as f:
             self.txt_paths = [l.strip() for l in f if l.strip()]
         assert len(self.wav_paths) == len(self.txt_paths)  # data/dataset.py:80
         self.char2idx = build_char2idx(cfg.vocabulary)

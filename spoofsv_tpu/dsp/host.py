@@ -114,6 +114,65 @@ def trim_silence(y: np.ndarray, top_db: float, frame_length: int = 2048,
     return y[start:end], (start, end)
 
 
+def split_nonsilent(y: np.ndarray, top_db: float = 30.0,
+                    frame_length: int = 2048, hop_length: int = 512
+                    ) -> np.ndarray:
+    """Non-silent (start, end) sample intervals — librosa.effects.split
+    semantics (used at ``GE2E/synthetic_data_preprocess.py:36``)."""
+    db = _rms_db(y, frame_length, hop_length)
+    nonsilent = db > -top_db
+    intervals = []
+    in_run = False
+    s = 0
+    for i, v in enumerate(nonsilent):
+        if v and not in_run:
+            in_run = True
+            s = i
+        elif not v and in_run:
+            in_run = False
+            intervals.append((s, i))
+    if in_run:
+        intervals.append((s, len(nonsilent)))
+    out = np.asarray(
+        [[int(a * hop_length), int(min(len(y), b * hop_length))]
+         for a, b in intervals], dtype=np.int64).reshape(-1, 2)
+    return out
+
+
+def amplitude_to_db(S: np.ndarray, amin: float = 1e-5, top_db: float = 80.0
+                    ) -> np.ndarray:
+    """librosa.amplitude_to_db(ref=1.0) semantics (``GE2E/utils.py:79-81``)."""
+    db = 20.0 * np.log10(np.maximum(amin, np.abs(S)))
+    if top_db is not None:
+        db = np.maximum(db, db.max() - top_db)
+    return db.astype(np.float32)
+
+
+def mfccs_and_spec(y: np.ndarray, sr: int, n_fft: int, window_s: float,
+                   hop_s: float, n_mels: int, tisv_frame: int,
+                   wav_process: bool = False, calc_mfccs: bool = False):
+    """(mfccs|None, mel_db (T, n_mels), mag_db (F, T)) — the reference's
+    on-the-fly GE2E feature path (``GE2E/utils.py:61-87``)."""
+    win = int(window_s * sr)
+    hop = int(hop_s * sr)
+    if wav_process:
+        y, _ = trim_silence(y, 60.0, frame_length=win, hop_length=hop)
+        target = int(sr * (tisv_frame * hop_s + window_s))
+        y = np.pad(y[:target], (0, max(0, target - len(y))))
+    spec = stft(y, n_fft, hop, win_length=win)
+    mag = np.abs(spec)
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    mel = fb @ mag
+    mag_db = amplitude_to_db(mag)
+    mel_db = amplitude_to_db(mel).T
+    mfccs = None
+    if calc_mfccs:
+        from scipy.fftpack import dct
+
+        mfccs = dct(mel_db.T, type=2, axis=0, norm="ortho")[:40].T
+    return mfccs, mel_db.astype(np.float32), mag_db
+
+
 def preemphasis(y: np.ndarray, coeff: float) -> np.ndarray:
     """First-difference pre-emphasis (``data/dataset.py:96``)."""
     return np.append(y[0], y[1:] - coeff * y[:-1]).astype(np.float32)

@@ -95,6 +95,74 @@ def save_spectrogram_tisv(ge2e: GE2EConfig, train_spk_num: int,
                   f"{len(utterances)} crops")
 
 
+def save_spectrogram_tisv_generic(ge2e: GE2EConfig, verbose: bool = True) -> None:
+    """Generic 80/20-ish preprocessor with VAD splitting for plain corpora
+    (``GE2E/synthetic_data_preprocess.py:13-52``): per non-silent interval
+    long enough, keep first & last ``tisv_frame`` log-mel frames; speakers
+    split ``(total//10)*8`` train / rest test."""
+    audio_dirs = sorted(glob.glob(os.path.dirname(ge2e.unprocessed_data)))
+    os.makedirs(ge2e.data.train_path, exist_ok=True)
+    os.makedirs(ge2e.data.test_path, exist_ok=True)
+    d = ge2e.data
+    utter_min_len = (d.tisv_frame * d.hop + d.window) * d.sr
+    train_speaker_num = (len(audio_dirs) // 10) * 8
+    for i, folder in enumerate(audio_dirs):
+        utterances = []
+        for utter_name in os.listdir(folder):
+            if not utter_name.endswith(".wav"):
+                continue
+            y, sr = dsp_host.load_wav(os.path.join(folder, utter_name), sr=d.sr)
+            for a, b in dsp_host.split_nonsilent(y, top_db=30.0):
+                if b - a > utter_min_len:
+                    S = dsp_host.ge2e_logmel(y[a:b], d.sr, d.nfft, d.window,
+                                             d.hop, d.nmels)
+                    utterances.append(S[:, : d.tisv_frame])
+                    utterances.append(S[:, -d.tisv_frame:])
+        arr = np.array(utterances)
+        if i < train_speaker_num:
+            np.save(os.path.join(d.train_path, f"speaker{i}.npy"), arr)
+        else:
+            np.save(os.path.join(d.test_path,
+                                 f"speaker{i - train_speaker_num}.npy"), arr)
+        if verbose:
+            print(f"speaker {i}: {len(utterances)} crops")
+
+
+class OnTheFlySpeakerBatcher:
+    """On-the-fly feature extraction per speaker directory — the
+    ``SpeakerDatasetTIMIT`` path (``GE2E/data_load.py:19-46``)."""
+
+    def __init__(self, ge2e: GE2EConfig, m: int, seed: int = 0):
+        self.ge2e = ge2e
+        self.m = m
+        pattern = (ge2e.data.train_path_unprocessed if ge2e.training
+                   else ge2e.data.test_path_unprocessed) or ge2e.unprocessed_data
+        self.speakers = sorted(glob.glob(os.path.dirname(pattern)))
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.speakers)
+
+    def sample_batch(self, n: int) -> np.ndarray:
+        d = self.ge2e.data
+        idx = self.rng.choice(len(self.speakers), size=n, replace=False)
+        out = []
+        for i in idx:
+            wavs = [f for f in os.listdir(self.speakers[int(i)])
+                    if f.lower().endswith(".wav")]
+            self.rng.shuffle(wavs)
+            feats = []
+            for w in wavs[: self.m]:
+                y, sr = dsp_host.load_wav(
+                    os.path.join(self.speakers[int(i)], w), sr=d.sr)
+                _, mel_db, _ = dsp_host.mfccs_and_spec(
+                    y, d.sr, d.nfft, d.window, d.hop, d.nmels, d.tisv_frame,
+                    wav_process=True)
+                feats.append(mel_db[: d.tisv_frame + 1])
+            out.append(np.stack(feats))
+        return np.stack(out)
+
+
 class SpeakerBatcher:
     """Loads preprocessed speaker npys; samples (N, M, frames, nmels) batches
     (``GE2E/data_load.py:48-86``)."""

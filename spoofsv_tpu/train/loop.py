@@ -127,6 +127,10 @@ class CheckpointManager:
                else f"{self.prefix}_iteration_{iteration}")
         path = self._path(tag)
         self._ckpt.save(path, state, force=True)
+        # StandardCheckpointer saves asynchronously — block until the final
+        # directory is committed so the path is immediately loadable.
+        if hasattr(self._ckpt, "wait_until_finished"):
+            self._ckpt.wait_until_finished()
         with open(path + ".meta.json", "w") as f:
             json.dump(host_meta, f)
         return path

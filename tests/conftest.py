@@ -18,7 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: XLA compiles dominate suite wall time on CPU.
-jax.config.update("jax_compilation_cache_dir", "/tmp/spoofsv_jax_cache")
+# Platform-suffixed dir: entries written under the TPU-site env carry different
+# CPU feature flags and spam AOT-mismatch warnings when reloaded.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/spoofsv_jax_cache_" + ("cpu" if not os.environ.get(
+                      "SPOOFSV_TEST_TPU") else "tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 if not os.environ.get("SPOOFSV_TEST_TPU"):
