@@ -36,11 +36,18 @@ def main(argv=None) -> None:
     )
 
     cfg = load_config(args.configuration)
+    # --variant mirrors melDisc_v1/v2 (anti_spoofing/discriminator.py:134-306;
+    # the reference versions have broken constructors — see docs/PARITY.md):
+    # v1 = lighter pooling (pool1=2, no second pool), v2 = extra conv/pool stage.
+    pool2 = None if args.variant == "v1" else (2 if args.feat == "mel" else 4)
+    pool1 = (2 if args.variant == "v1" else (4 if args.feat == "mel" else 8))
     if args.feat == "mel":
-        model = Critic1D(disc_dim=cfg.disc_dim, pool1=4, pool2=2, mid_dim=4,
+        model = Critic1D(disc_dim=cfg.disc_dim, pool1=pool1, pool2=pool2,
+                         mid_dim=4, extra_stage=(args.variant == "v2"),
                          sigmoid_out=True)
     else:
-        model = Critic1D(disc_dim=cfg.disc_dim, pool1=8, pool2=4, mid_dim=8,
+        model = Critic1D(disc_dim=cfg.disc_dim, pool1=pool1, pool2=pool2,
+                         mid_dim=8, extra_stage=(args.variant == "v2"),
                          sigmoid_out=True)
 
     source = ASVspoofSource(cfg, args.step, args.time)

@@ -99,19 +99,27 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
     src = TTSDataSource(cfg, "synthesize", spec_dir, need_lin=True)
     loader = BucketedLoader(src, 8, with_lin=True, shuffle=False)
 
+    fig_dir = os.path.join(sample_dir, "fig")
     key = jax.random.PRNGKey(0)
+    synthesizers = {}
     for i, batch in enumerate(loader):
         t = batch["mel"].shape[1]
-        syn = Synthesizer(cfg, melsyn, ssrn, m1_params, m2_params, n_frames=t)
+        if t not in synthesizers:  # one jitted pipeline per bucket length
+            synthesizers[t] = Synthesizer(cfg, melsyn, ssrn, m1_params,
+                                          m2_params, n_frames=t)
         key, sub = jax.random.split(key)
-        audio, mel, attn = syn(jnp.asarray(batch["text"]),
-                               jnp.asarray(batch["spk"]), sub)
+        audio, mel, attn = synthesizers[t](jnp.asarray(batch["text"]),
+                                           jnp.asarray(batch["spk"]), sub)
         audio = np.asarray(audio)
         for k in range(audio.shape[0]):
             wav = finalize_audio(audio[k], cfg)
             dsp_host.write_wav(
                 os.path.join(sample_dir, f"S{k+1}_B{i+1}.wav"),
                 wav, cfg.sampling_rate)   # naming: synthesize.py:147
+        # attention heatmap of the batch's first item (synthesize.py:111)
+        from spoofsv_tpu.train.loop import plot_attention
+
+        plot_attention(np.asarray(attn[0]), i + 1, fig_dir)
         print(f"batch {i+1}: wrote {audio.shape[0]} wavs to {sample_dir}")
 
 

@@ -28,8 +28,10 @@ class Critic1D(nn.Module):
 
     disc_dim: int = 128
     pool1: int = 4
-    pool2: int = 2
+    pool2: Optional[int] = 2  # None → v1-style variant (no second pool,
+                              # anti_spoofing/discriminator.py:145 commented out)
     mid_dim: int = 4          # conv4 width: 4 for mel, 8 for lin
+    extra_stage: bool = False  # v2-style extra conv/pool stage (:214-216)
     sigmoid_out: bool = False
     dropout_rate: float = 0.05
     dtype: Any = jnp.float32
@@ -51,8 +53,13 @@ class Critic1D(nn.Module):
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln2")(x)
         x = drop(lrelu(x), "dp2")
         x = nn.Dense(16, kernel_init=KAIMING, dtype=self.dtype, name="conv3")(x)
-        x = nn.avg_pool(x, (self.pool2,), strides=(self.pool2,))
+        if self.pool2:
+            x = nn.avg_pool(x, (self.pool2,), strides=(self.pool2,))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln3")(x)
+        if self.extra_stage:
+            x = nn.Dense(8, kernel_init=KAIMING, dtype=self.dtype, name="conv3_2")(x)
+            x = nn.avg_pool(x, (2,), strides=(2,))
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln3_2")(x)
         x = nn.Dense(self.mid_dim, kernel_init=KAIMING, dtype=self.dtype, name="conv4")(lrelu(x))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln4")(x)
         x = nn.Dense(1, kernel_init=KAIMING, dtype=self.dtype, name="conv5")(lrelu(x))
@@ -115,7 +122,12 @@ class DRS(nn.Module):
                 x = ResBasicBlock(w, self.dtype, name=f"block{bi+1}_{r}")(x, train)
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             nxt = widths[bi + 1] if bi + 1 < len(widths) else 64
-            x = nn.Conv(nxt, (3, 3), kernel_dilation=d, padding="VALID",
+            # NB: the reference's cnn4 (dilation (9,6), VALID) underflows its
+            # own documented 257×400 input — the class is dead code there
+            # (models/discriminator.py:106-142). Pad when VALID wouldn't fit.
+            fits = (x.shape[1] > 2 * d[0]) and (x.shape[2] > 2 * d[1])
+            x = nn.Conv(nxt, (3, 3), kernel_dilation=d,
+                        padding="VALID" if fits else "SAME",
                         kernel_init=KAIMING, dtype=self.dtype, name=f"cnn{bi+1}")(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(100, kernel_init=KAIMING, dtype=self.dtype, name="fc")(x)

@@ -233,3 +233,34 @@ class TestGE2E:
         ours = np.asarray(ge2e_mod.get_cossim(jnp.asarray(emb), jnp.asarray(cen)))
         ref = _loop_cossim(emb, cen)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestCMVariants:
+    def test_v1_no_second_pool(self):
+        from spoofsv_tpu.models import Critic1D
+        m = Critic1D(disc_dim=16, pool1=2, pool2=None, sigmoid_out=True)
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 80)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(params, x))
+        assert y.shape == (2,) and ((y > 0) & (y < 1)).all()
+
+    def test_v2_extra_stage(self):
+        from spoofsv_tpu.models import Critic1D
+        m = Critic1D(disc_dim=16, pool1=2, pool2=2, extra_stage=True, sigmoid_out=True)
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 80)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert "conv3_2" in params["params"]
+        y = np.asarray(m.apply(params, x))
+        assert y.shape == (2,)
+
+
+class TestDRS:
+    def test_forward_softmax(self):
+        from spoofsv_tpu.models import DRS
+        m = DRS(num_classes=2, resnet_blocks=1)
+        # 257x400 feature map as in the reference docstring (discriminator.py:107)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 257, 400, 1)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == (2, 2)
+        np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, atol=1e-5)

@@ -17,34 +17,6 @@ from spoofsv_tpu.data.vctk import (
 from spoofsv_tpu.dsp import host as dsp_host
 
 
-@pytest.fixture(scope="module")
-def mini_corpus(tmp_path_factory):
-    """3 speakers × 8 utterances of short sine wavs at 22.05k + txt files."""
-    root = tmp_path_factory.mktemp("vctk")
-    rng = np.random.default_rng(0)
-    sr = 22050
-    for s, spk in enumerate(["p225", "p226", "p315"]):  # p315 must be excluded
-        os.makedirs(root / "wav48" / spk)
-        os.makedirs(root / "txt" / spk)
-        for u in range(8):
-            n = sr // 2 + 1000 * u
-            t = np.arange(n) / sr
-            y = 0.4 * np.sin(2 * np.pi * (200 + 50 * s + 10 * u) * t)
-            y += 0.01 * rng.normal(size=n)
-            dsp_host.write_wav(str(root / "wav48" / spk / f"{spk}_{u:03d}.wav"),
-                               y.astype(np.float32), sr)
-            with open(root / "txt" / spk / f"{spk}_{u:03d}.txt", "w") as f:
-                f.write(f"utterance number {u} for speaker {spk}.\n")
-    os.makedirs(root / "spk_emb")
-    for spk in ["p225", "p226"]:
-        np.save(root / "spk_emb" / f"{spk}.npy",
-                rng.normal(size=200).astype(np.float32))
-    cfg = Config().replace(data_root_dir=str(root) + "/",
-                           spk_emb_dir=str(root / "spk_emb") + "/")
-    prepare_vctk(cfg, resample=True, verbose=False)
-    return cfg
-
-
 class TestSplits:
     def test_split_positions(self):
         files = [f"p1_{i:03d}.wav" for i in range(7)]
