@@ -20,6 +20,39 @@ import time
 import numpy as np
 
 
+def bench_ge2e(batch: int = 120) -> None:
+    """Secondary metric: GE2E embedder throughput (utts/sec) — the reference's
+    other hot loop (``GE2E/train_speech_embedder.py:77``, 120-frame crops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spoofsv_tpu.models import SpeechEmbedder
+
+    emb = SpeechEmbedder(hidden=768, num_layers=3, proj=256, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 120, 40)), jnp.float32)
+    params = jax.jit(emb.init)(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, v: emb.apply(p, v))
+    e = fwd(params, x)
+    _ = float(jnp.sum(jnp.abs(e)))        # force
+    iters = 5
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        e = fwd(params, x * (1.0 + 1e-6 * i))
+        acc += float(jnp.sum(jnp.abs(e)))
+    dt = (time.perf_counter() - t0) / iters
+    assert acc > 0
+    print(json.dumps({
+        "metric": "ge2e_embedder_utts_per_sec",
+        "value": round(batch / dt, 1),
+        "unit": "utts/s",
+        "vs_baseline": None,
+        "detail": {"batch": batch, "frames": 120,
+                   "backend": jax.default_backend()},
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -28,6 +61,10 @@ def main() -> None:
     from spoofsv_tpu.infer.synthesize import Synthesizer
     from spoofsv_tpu.models import MelSyn, SSRN
     from spoofsv_tpu.train.steps import shift_right
+
+    if "--ge2e" in sys.argv:
+        bench_ge2e()
+        return
 
     cfg = Config()
     dtype = jnp.bfloat16
@@ -39,7 +76,7 @@ def main() -> None:
                 ssrn_dim=cfg.ssrn_dim, dtype=dtype)
 
     rng = np.random.default_rng(0)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 128
     N = 100                      # text length (Harvard sentences are < 100 chars)
     T = cfg.max_frame_num        # 325-frame rollout (generate_test_utterances.py:114)
 

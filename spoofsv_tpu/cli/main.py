@@ -70,9 +70,15 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
         return BucketedLoader(val_src, 8, with_lin=with_lin, shuffle=False)
 
     if args.resume:
-        example = next(iter(train_loader()))
-        trainer.resume(args.resume, example)
-        print(f"Resumed from {args.resume} at iteration {trainer.iteration}")
+        path = args.resume
+        if path == "latest":
+            path = trainer.ckpt.latest()
+            if path is None:
+                print("no checkpoint to resume from; starting fresh")
+        if path:
+            example = next(iter(train_loader()))
+            trainer.resume(path, example)
+            print(f"Resumed from {path} at iteration {trainer.iteration}")
 
     trainer.fit(train_loader, val_loader, plot=cfg.plot_curve,
                 max_iterations=args.max_iterations)
@@ -102,6 +108,14 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
     fig_dir = os.path.join(sample_dir, "fig")
     key = jax.random.PRNGKey(0)
     synthesizers = {}
+    # loss bookkeeping vs ground truth (synthesize.py:113-128)
+    from spoofsv_tpu.train.losses import (
+        binary_divergence, guided_attention_loss, guided_attention_matrix,
+        l1_loss)
+
+    gaw = jnp.asarray(guided_attention_matrix(cfg.max_text_len, cfg.max_frame_num))
+    loss_avg_t2m = loss_avg_ssrn = 0.0
+    n_batches = 0
     for i, batch in enumerate(loader):
         t = batch["mel"].shape[1]
         if t not in synthesizers:  # one jitted pipeline per bucket length
@@ -110,6 +124,19 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
         key, sub = jax.random.split(key)
         audio, mel, attn = synthesizers[t](jnp.asarray(batch["text"]),
                                            jnp.asarray(batch["spk"]), sub)
+        mel_gt = jnp.asarray(batch["mel"])
+        l1 = float(l1_loss(mel_gt, mel))
+        bd = float(binary_divergence(mel_gt, mel))
+        att = float(guided_attention_loss(attn, gaw))
+        loss_avg_t2m += l1 + bd + att
+        lin_pred = synthesizers[t]._ssrn_apply(m2_params, mel)
+        lin_gt = jnp.asarray(batch["lin"])
+        l1s = float(l1_loss(lin_gt, lin_pred))
+        bds = float(binary_divergence(lin_gt, lin_pred))
+        loss_avg_ssrn += l1s + bds
+        n_batches += 1
+        print(f"syn set text2mel loss: {l1} {bd} {att} {l1+bd+att}")
+        print(f"syn set ssrn loss: {l1s} {bds} {l1s+bds}")
         audio = np.asarray(audio)
         for k in range(audio.shape[0]):
             wav = finalize_audio(audio[k], cfg)

@@ -57,7 +57,8 @@ def _dft_mats(n_fft: int):
             inv_c.astype(np.float32), inv_s.astype(np.float32))
 
 
-def rfft_ri(frames: jnp.ndarray, n_fft: int, use_matmul: bool
+def rfft_ri(frames: jnp.ndarray, n_fft: int, use_matmul: bool,
+            precision=jax.lax.Precision.HIGHEST
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Real FFT of ``(..., n_fft)`` frames → (re, im), each ``(..., 1+n_fft//2)``."""
     if not use_matmul:
@@ -65,21 +66,21 @@ def rfft_ri(frames: jnp.ndarray, n_fft: int, use_matmul: bool
         return jnp.real(spec), jnp.imag(spec)
     cos, msin, _, _ = _dft_mats(n_fft)
     f = frames.astype(jnp.float32)
-    re = jnp.matmul(f, jnp.asarray(cos), precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(f, jnp.asarray(msin), precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(f, jnp.asarray(cos), precision=precision)
+    im = jnp.matmul(f, jnp.asarray(msin), precision=precision)
     return re, im
 
 
-def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, use_matmul: bool
-             ) -> jnp.ndarray:
+def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, use_matmul: bool,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Inverse of :func:`rfft_ri` → real frames ``(..., n_fft)``."""
     if not use_matmul:
         return jnp.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
     _, _, inv_c, inv_s = _dft_mats(n_fft)
     out = jnp.matmul(re.astype(jnp.float32), jnp.asarray(inv_c),
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
     out = out + jnp.matmul(im.astype(jnp.float32), jnp.asarray(inv_s),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=precision)
     return out
 
 
@@ -107,7 +108,9 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
 
 def stft_ri(y: jnp.ndarray, n_fft: int, hop_length: int,
             win_length: Optional[int] = None, center: bool = True,
-            use_matmul: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            use_matmul: bool = False,
+            precision=jax.lax.Precision.HIGHEST
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Real/imag STFT of ``(..., L)`` → (re, im) each ``(..., T, 1+n_fft//2)``."""
     if win_length is None:
         win_length = n_fft
@@ -116,7 +119,7 @@ def stft_ri(y: jnp.ndarray, n_fft: int, hop_length: int,
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         y = jnp.pad(y, pad, mode="reflect")
     frames = frame_signal(y, n_fft, hop_length) * window
-    return rfft_ri(frames, n_fft, use_matmul)
+    return rfft_ri(frames, n_fft, use_matmul, precision)
 
 
 def stft(y: jnp.ndarray, n_fft: int, hop_length: int,
@@ -146,13 +149,14 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
 
 def istft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
              win_length: Optional[int] = None, center: bool = True,
-             use_matmul: bool = False) -> jnp.ndarray:
+             use_matmul: bool = False,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Inverse STFT of (re, im) ``(..., T, 1+n_fft//2)`` → ``(..., hop*(T-1))``."""
     if win_length is None:
         win_length = n_fft
     window = jnp.asarray(_fft_window(win_length, n_fft))
     T = re.shape[-2]
-    frames = irfft_ri(re, im, n_fft, use_matmul) * window
+    frames = irfft_ri(re, im, n_fft, use_matmul, precision) * window
     y = _overlap_add(frames, hop_length)
     wss = window_sumsquare(hann_window(win_length), T, hop_length, n_fft)
     wss = jnp.asarray(wss.astype(np.float32))
@@ -170,10 +174,11 @@ def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_fft", "hop_length", "win_length", "n_iter", "use_matmul"))
+    "n_fft", "hop_length", "win_length", "n_iter", "use_matmul", "precision"))
 def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
                 win_length: int, n_iter: int = 64, momentum: float = 0.99,
-                use_matmul: Optional[bool] = None) -> jnp.ndarray:
+                use_matmul: Optional[bool] = None,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Batched Griffin-Lim phase reconstruction on TPU.
 
     ``mag``: magnitude spectrogram ``(..., T, 1+n_fft//2)`` → audio ``(..., hop*(T-1))``.
@@ -197,9 +202,10 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
         ang_re, ang_im, reb_re, reb_im = carry
         tprev_re, tprev_im = reb_re, reb_im
         inverse = istft_ri(mag * ang_re, mag * ang_im, n_fft, hop_length,
-                           win_length, use_matmul=use_matmul)
+                           win_length, use_matmul=use_matmul,
+                           precision=precision)
         reb_re, reb_im = stft_ri(inverse, n_fft, hop_length, win_length,
-                                 use_matmul=use_matmul)
+                                 use_matmul=use_matmul, precision=precision)
         a_re = reb_re - alpha * tprev_re
         a_im = reb_im - alpha * tprev_im
         norm = jnp.sqrt(a_re * a_re + a_im * a_im) + 1e-16
@@ -208,7 +214,7 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
     ang_re, ang_im, _, _ = jax.lax.fori_loop(
         0, n_iter, body, (ang_re, ang_im, reb_re, reb_im))
     return istft_ri(mag * ang_re, mag * ang_im, n_fft, hop_length, win_length,
-                    use_matmul=use_matmul)
+                    use_matmul=use_matmul, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("coeff", "block"))

@@ -37,6 +37,9 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
     n_fft = cfg.stft.fft_length
     hop = cfg.stft.hop_length
     power = cfg.norm.reconstruction_power / cfg.norm.analysis_power
+    precision = (jax.lax.Precision.HIGHEST
+                 if cfg.tpu.griffin_lim_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
 
     @jax.jit
     def vocode(lin_pred: Array, key: Array) -> Array:
@@ -48,7 +51,8 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
             peak = jnp.max(x, axis=(1, 2), keepdims=True)
             x = x / jnp.maximum(peak, 1e-8)
         spec = jnp.power(x, power)
-        audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft, n_iter=n_iter)
+        audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft, n_iter=n_iter,
+                                   precision=precision)
         return jaxdsp.deemphasis(audio, coeff=cfg.preemph)
 
     return vocode

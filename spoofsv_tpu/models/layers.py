@@ -86,15 +86,17 @@ class HighwayConv(nn.Module):
         """One causal step; ``x_t``: (B, C), cache: (B, pad, C) of past inputs.
 
         Equivalent to the last output column of ``__call__`` on the full prefix
-        (verified by tests/test_decode_equiv.py).
+        (verified by the step-vs-full and torch AR-loop parity tests). The k
+        taps are concatenated into one (B, k·C) row so the whole conv is a
+        single wider matmul — k× fewer, larger MXU ops per decode step.
         """
         kernel = self.conv.variables["params"]["kernel"]  # (k, C, 2C)
         bias = self.conv.variables["params"]["bias"]
-        taps = [cache[:, i * self.dilation, :] for i in range(self.kernel_size - 1)]
-        taps.append(x_t)
-        h = bias
-        for i, t in enumerate(taps):
-            h = h + jnp.dot(t.astype(self.dtype), kernel[i].astype(self.dtype))
+        k = self.kernel_size
+        taps = [cache[:, i * self.dilation, :] for i in range(k - 1)] + [x_t]
+        stacked = jnp.concatenate(taps, axis=-1).astype(self.dtype)  # (B, k*C)
+        w = kernel.astype(self.dtype).reshape(k * self.dim, 2 * self.dim)
+        h = jnp.dot(stacked, w) + bias
         out = self._gate(h, x_t)
         if self.pad > 0:
             cache = jnp.concatenate([cache[:, 1:, :], x_t[:, None, :]], axis=1)

@@ -135,6 +135,22 @@ class CheckpointManager:
             json.dump(host_meta, f)
         return path
 
+    def latest(self) -> Optional[str]:
+        """Most recent ``*_iteration_N`` checkpoint in this run directory —
+        enables ``--resume latest`` (the reference requires an explicit path,
+        ``main.py:12``)."""
+        best = None
+        best_n = -1
+        for e in os.listdir(self.base):
+            if e.startswith(f"{self.prefix}_iteration_") and not e.endswith(".json"):
+                try:
+                    n = int(e.rsplit("_", 1)[1])
+                except ValueError:
+                    continue
+                if n > best_n and os.path.isdir(os.path.join(self.base, e)):
+                    best, best_n = e, n
+        return self._path(best) if best else None
+
     def restore(self, path: str, target):
         state = self._ckpt.restore(os.path.abspath(path), target)
         meta_path = path + ".meta.json"
