@@ -227,3 +227,31 @@ class TestDataParallel:
         _, m_dp = step_fn(state_r, sbatch, jax.random.PRNGKey(1))
         np.testing.assert_allclose(float(m_dp["loss"]), float(m_single["loss"]),
                                    rtol=2e-4)
+
+
+class TestShardedDecode:
+    def test_decode_with_sharded_batch(self):
+        """AR decode with the batch sharded over the data mesh axis matches the
+        unsharded result (validates the scan + collectives under pjit)."""
+        from spoofsv_tpu.infer.decode import make_decoder
+        from spoofsv_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+
+        cfg = tiny_cfg()
+        melsyn, _ = tiny_models(cfg)
+        rng = np.random.default_rng(0)
+        B, N = 8, 12
+        text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (B, N)), jnp.int32)
+        spk = jnp.asarray(rng.normal(size=(B, cfg.spk_emb_dim)), jnp.float32)
+        mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (B, 4, cfg.mel.freq_bins)),
+                             jnp.float32)
+        from spoofsv_tpu.train.steps import shift_right
+        params = melsyn.init(jax.random.PRNGKey(0), shift_right(mel_ex), text, spk)
+        decode = make_decoder(melsyn, 6)
+        y_ref, a_ref, _ = decode(params, text, spk)
+
+        mesh = make_mesh(8)
+        sh = batch_sharding(mesh)
+        y_sh, a_sh, _ = decode(replicate_tree(params, mesh),
+                               jax.device_put(text, sh), jax.device_put(spk, sh))
+        np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), atol=1e-5)
