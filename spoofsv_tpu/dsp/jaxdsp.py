@@ -72,8 +72,14 @@ def rfft_ri(frames: jnp.ndarray, n_fft: int, use_matmul: bool,
 
 
 def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, use_matmul: bool,
-             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """Inverse of :func:`rfft_ri` → real frames ``(..., n_fft)``."""
+             precision=jax.lax.Precision.HIGHEST,
+             frames_dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of :func:`rfft_ri` → real frames ``(..., n_fft)``.
+
+    ``frames_dtype=bfloat16`` halves HBM traffic of the (…, n_fft) frames
+    tensor — with ``precision=DEFAULT`` the MXU reads bf16-truncated mantissas
+    anyway, so the only extra loss is on the stored output.
+    """
     if not use_matmul:
         return jnp.fft.irfft(re + 1j * im, n=n_fft, axis=-1)
     _, _, inv_c, inv_s = _dft_mats(n_fft)
@@ -81,7 +87,7 @@ def irfft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, use_matmul: bool,
                      precision=precision)
     out = out + jnp.matmul(im.astype(jnp.float32), jnp.asarray(inv_s),
                            precision=precision)
-    return out
+    return out.astype(frames_dtype)
 
 
 def _default_use_matmul() -> bool:
@@ -150,14 +156,15 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
 def istft_ri(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int,
              win_length: Optional[int] = None, center: bool = True,
              use_matmul: bool = False,
-             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+             precision=jax.lax.Precision.HIGHEST,
+             frames_dtype=jnp.float32) -> jnp.ndarray:
     """Inverse STFT of (re, im) ``(..., T, 1+n_fft//2)`` → ``(..., hop*(T-1))``."""
     if win_length is None:
         win_length = n_fft
-    window = jnp.asarray(_fft_window(win_length, n_fft))
+    window = jnp.asarray(_fft_window(win_length, n_fft)).astype(frames_dtype)
     T = re.shape[-2]
-    frames = irfft_ri(re, im, n_fft, use_matmul, precision) * window
-    y = _overlap_add(frames, hop_length)
+    frames = irfft_ri(re, im, n_fft, use_matmul, precision, frames_dtype) * window
+    y = _overlap_add(frames, hop_length).astype(jnp.float32)
     wss = window_sumsquare(hann_window(win_length), T, hop_length, n_fft)
     wss = jnp.asarray(wss.astype(np.float32))
     y = jnp.where(wss > 1e-11, y / jnp.maximum(wss, 1e-11), y)
@@ -201,9 +208,11 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
     def body(_, carry):
         ang_re, ang_im, reb_re, reb_im = carry
         tprev_re, tprev_im = reb_re, reb_im
+        frames_dtype = (jnp.bfloat16 if precision == jax.lax.Precision.DEFAULT
+                        and use_matmul else jnp.float32)
         inverse = istft_ri(mag * ang_re, mag * ang_im, n_fft, hop_length,
                            win_length, use_matmul=use_matmul,
-                           precision=precision)
+                           precision=precision, frames_dtype=frames_dtype)
         reb_re, reb_im = stft_ri(inverse, n_fft, hop_length, win_length,
                                  use_matmul=use_matmul, precision=precision)
         a_re = reb_re - alpha * tprev_re

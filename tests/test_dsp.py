@@ -212,3 +212,20 @@ class TestResample:
         # frequency preserved: zero-crossing count ≈ 880
         zc = np.sum(np.diff(np.signbit(z[100:-100])) != 0)
         assert abs(zc - 880 * (len(z) - 200) / len(z)) < 20
+
+    def test_bf16_frames_quality(self):
+        """precision=DEFAULT stores istft frames in bf16 — spectral
+        convergence must stay within a whisker of the f32 path."""
+        y = chirp(n=HOP * 40)
+        mag = jnp.abs(jaxdsp.stft(jnp.asarray(y), N_FFT, HOP))
+        hi = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(3), N_FFT, HOP, N_FFT,
+                                n_iter=16, use_matmul=True,
+                                precision=jax.lax.Precision.HIGHEST)
+        lo = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(3), N_FFT, HOP, N_FFT,
+                                n_iter=16, use_matmul=True,
+                                precision=jax.lax.Precision.DEFAULT)
+        def err(out):
+            m2 = jnp.abs(jaxdsp.stft(out, N_FFT, HOP))
+            return float(jnp.linalg.norm(mag - m2) / jnp.linalg.norm(mag))
+        e_hi, e_lo = err(hi), err(lo)
+        assert e_lo < e_hi * 1.1 + 0.01, (e_hi, e_lo)
