@@ -199,10 +199,16 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
     if use_matmul is None:
         use_matmul = _default_use_matmul()
     mag = mag.astype(jnp.float32)
+    # with bf16 MXU precision, carry the phase/rebuilt tensors in bf16 too —
+    # they are unit-scale and GL's projection re-normalizes every iteration,
+    # so the carry dtype only has to hold ~3 significant digits of phase.
+    carry_dtype = (jnp.bfloat16 if (precision == jax.lax.Precision.DEFAULT
+                                    and use_matmul) else jnp.float32)
     phase = jax.random.uniform(key, mag.shape, jnp.float32, 0.0, 2.0 * jnp.pi)
-    ang_re, ang_im = jnp.cos(phase), jnp.sin(phase)
-    reb_re = jnp.zeros_like(mag)
-    reb_im = jnp.zeros_like(mag)
+    ang_re = jnp.cos(phase).astype(carry_dtype)
+    ang_im = jnp.sin(phase).astype(carry_dtype)
+    reb_re = jnp.zeros_like(mag, carry_dtype)
+    reb_im = jnp.zeros_like(mag, carry_dtype)
     alpha = momentum / (1.0 + momentum)
 
     def body(_, carry):
@@ -215,10 +221,14 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
                            precision=precision, frames_dtype=frames_dtype)
         reb_re, reb_im = stft_ri(inverse, n_fft, hop_length, win_length,
                                  use_matmul=use_matmul, precision=precision)
-        a_re = reb_re - alpha * tprev_re
-        a_im = reb_im - alpha * tprev_im
+        reb_re = reb_re.astype(carry_dtype)
+        reb_im = reb_im.astype(carry_dtype)
+        a_re = (reb_re - alpha * tprev_re).astype(jnp.float32)
+        a_im = (reb_im - alpha * tprev_im).astype(jnp.float32)
         norm = jnp.sqrt(a_re * a_re + a_im * a_im) + 1e-16
-        return a_re / norm, a_im / norm, reb_re, reb_im
+        return ((a_re / norm).astype(carry_dtype),
+                (a_im / norm).astype(carry_dtype),
+                reb_re.astype(carry_dtype), reb_im.astype(carry_dtype))
 
     ang_re, ang_im, _, _ = jax.lax.fori_loop(
         0, n_iter, body, (ang_re, ang_im, reb_re, reb_im))

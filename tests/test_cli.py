@@ -75,3 +75,17 @@ class TestTrainingSmoke:
         base = os.path.join(str(tmp_path), "checkpoints", "conditional",
                             "adversarial", "smoke_adv")
         assert os.path.exists(os.path.join(base, "metrics.jsonl"))
+
+
+class TestGraftEntry:
+    def test_entry_compiles_single_device(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        import jax
+
+        fn, args = g.entry()
+        y, a = jax.jit(fn)(*args)
+        assert y.shape[0] == args[0].shape[0]
+        assert np.isfinite(np.asarray(a)).all()
