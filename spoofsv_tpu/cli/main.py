@@ -172,6 +172,14 @@ def main(argv=None) -> None:
 
     from spoofsv_tpu.config import load_config
 
+    # persistent XLA compile cache: the fused fwd+bwd graphs take minutes to
+    # compile on remote-TPU backends; cache across runs.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/spoofsv_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     cfg = load_config(args.configuration)
 
     if args.save_spectrogram:

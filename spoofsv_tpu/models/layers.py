@@ -31,6 +31,17 @@ LN_EPS = 1e-5
 Array = jax.Array
 
 
+def functional_dropout(module: nn.Module, x: Array, rate: float,
+                       deterministic: bool) -> Array:
+    """Dropout for setup-style modules (flax forbids constructing nn.Dropout
+    submodules inside plain methods)."""
+    if deterministic or rate <= 0.0:
+        return x
+    rng = module.make_rng("dropout")
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 class HighwayConv(nn.Module):
     """Gated ("highway") 1-D convolution (``models/TTSModel.py:37-84``).
 
@@ -72,8 +83,7 @@ class HighwayConv(nn.Module):
             inp = jnp.pad(x, ((0, 0), (self.pad, 0), (0, 0)))
         h = self.conv(inp)
         out = self._gate(h, x)
-        if self.dropout_rate > 0.0:
-            out = nn.Dropout(self.dropout_rate, name="dp")(out, deterministic=deterministic)
+        out = functional_dropout(self, out, self.dropout_rate, deterministic)
         return out
 
     # -- incremental decoding ------------------------------------------------

@@ -29,6 +29,7 @@ from spoofsv_tpu.models.layers import (
     Array,
     HighwayConv,
     HighwayDilationStack,
+    functional_dropout,
 )
 
 ATT_MASK_VALUE = -2.0 ** 32  # models/TTSModel.py:284,286
@@ -66,11 +67,9 @@ class TextEncoder(nn.Module):
         x = self.embed(text_ids) + self.embed_bias
         x = self.ln1(self.conv1(x))
         x = jax.nn.relu(x)
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp1")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.ln2(self.conv2(x))
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp2")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.hci1(x, deterministic)
         x = self.hci2(x, deterministic)
         x = self.hc1(x, deterministic)
@@ -119,12 +118,10 @@ class AudioEncoder(nn.Module):
         else:
             x = self.ln1(x)
         x = jax.nn.relu(x)
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp1")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.ln2(self.conv2(x))
         x = jax.nn.relu(x)
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp2")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.conv3(x)
         if self.condition:
             p = self.fc2(spk)
@@ -133,8 +130,7 @@ class AudioEncoder(nn.Module):
             x = self.ln3(x + p)
         else:
             x = self.ln3(x)
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp3")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         return x
 
     def __call__(self, mel: Array, spk: Optional[Array] = None,
@@ -189,28 +185,23 @@ class AudioDecoder(nn.Module):
 
     def _tail(self, x: Array, deterministic: bool) -> Array:
         x = self.ln2(self.conv2(x))
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp2")(
-                jax.nn.relu(x), deterministic=deterministic)
-        else:
-            x = jax.nn.relu(x)
+        x = functional_dropout(self, jax.nn.relu(x), self.dropout_rate,
+                               deterministic)
         x = self.ln3(self.conv3(x))
         x = jax.nn.relu(x)
         if self.dropout_rate > 0:
             # dropout variant uses p=0.04 here (TTSModel_dropout.py:229)
-            x = nn.Dropout(0.04, name="dp3")(x, deterministic=deterministic)
+            x = functional_dropout(self, x, 0.04, deterministic)
         x = self.ln4(self.conv4(x))
         x = jax.nn.relu(x)
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp4")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.ln5(self.conv5(x))
         return jax.nn.sigmoid(x)
 
     def __call__(self, rq: Array, deterministic: bool = True) -> Array:
         """``rq``: (B, T, 2h) → (B, T, freq_bins) in (0, 1)."""
         x = self.ln1(self.conv1(rq))
-        if self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dp1")(x, deterministic=deterministic)
+        x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.hci(x, deterministic)
         x = self.hc1(x, deterministic)
         x = self.hc2(x, deterministic)

@@ -177,3 +177,43 @@ class TestGE2EParity:
         params = import_ge2e_embedder({k: v for k, v in sd.items()})
         e_j = ours.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(e_j), e_t, atol=2e-4)
+
+
+class TestDropoutVariantParity:
+    def test_eval_mode_matches_base(self):
+        """The dropout variant in eval mode == base model (dropout inactive);
+        our dropout_rate flag must reproduce TTSModel_dropout's eval forward
+        when fed its weights."""
+        import torch
+        torch.manual_seed(3)
+        from models.TTSModel_dropout import melSyn as TorchMelSynDp
+
+        from spoofsv_tpu.models import MelSyn
+        from spoofsv_tpu.utils.torch_import import import_melsyn
+
+        tm = TorchMelSynDp(vocab_len=34, condition=True, spkemb_dim=200,
+                           textemb_dim=128, freq_bins=80, hidden_dim=48)
+        tm.train()  # training branch of forward, but disable dropout layers:
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.eval()
+        B, T, N = 2, 9, 7
+        rng = np.random.default_rng(5)
+        mel = rng.uniform(0.05, 0.95, (B, 80, T)).astype(np.float32)
+        text = rng.integers(1, 33, (B, 1, N)).astype(np.int64)
+        spk = rng.normal(size=(B, 200, 1)).astype(np.float32)
+        with torch.no_grad():
+            y_t, a_t = tm(torch.from_numpy(mel), torch.from_numpy(text),
+                          torch.from_numpy(spk))
+
+        ours = MelSyn(vocab_len=34, condition=True, spk_emb_dim=200,
+                      text_emb_dim=128, freq_bins=80, hidden_dim=48,
+                      dropout_rate=0.05)
+        params = import_melsyn(tm.state_dict())
+        y_j, a_j = ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1)),
+                              jnp.asarray(text[:, 0, :]),
+                              jnp.asarray(spk[:, :, 0]),
+                              deterministic=True)
+        np.testing.assert_allclose(np.asarray(y_j).transpose(0, 2, 1),
+                                   y_t.numpy(), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(a_j), a_t.numpy(), atol=3e-4)
