@@ -21,6 +21,10 @@ def main(argv=None) -> None:
     ps.add_argument("--ivec_dim", type=int, default=100)
     ps.add_argument("--max_train_utts_per_spk", type=int, default=40)
     ps.add_argument("--workers", type=int, default=8)
+    ps.add_argument("--diag_ubm", action="store_true",
+                    help="skip the full-covariance UBM upgrade "
+                         "(run.sh:110-118) and stay diagonal")
+    ps.add_argument("--full_ubm_iters", type=int, default=3)
     args = ps.parse_args(argv)
 
     from spoofsv_tpu.config import load_config
@@ -29,7 +33,9 @@ def main(argv=None) -> None:
     cfg = load_config(args.configuration)
     run_ivector_pipeline(cfg, args.current_time, args.enroll_num,
                          args.eval_num, args.num_gauss, args.ivec_dim,
-                         args.max_train_utts_per_spk, workers=args.workers)
+                         args.max_train_utts_per_spk, workers=args.workers,
+                         use_full_ubm=not args.diag_ubm,
+                         full_ubm_iters=args.full_ubm_iters)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,10 @@ class TPUConfig:
     # spectral convergence (0.0515 vs 0.0517 rel err at 64 iters) — GL's
     # iterative correction absorbs the rounding.
     griffin_lim_precision: str = "default"
+    # "auto": fused Pallas kernel on TPU (whole 64-iter loop VMEM-resident,
+    # spoofsv_tpu/ops/pallas_gl.py), XLA fori_loop elsewhere. "xla"/"pallas"
+    # force one implementation.
+    griffin_lim_impl: str = "auto"
     remat: bool = False                # jax.checkpoint over highway stacks
 
 

@@ -185,7 +185,9 @@ def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
 def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
                 win_length: int, n_iter: int = 64, momentum: float = 0.99,
                 use_matmul: Optional[bool] = None,
-                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                precision=jax.lax.Precision.HIGHEST,
+                init_angles: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                ) -> jnp.ndarray:
     """Batched Griffin-Lim phase reconstruction on TPU.
 
     ``mag``: magnitude spectrogram ``(..., T, 1+n_fft//2)`` → audio ``(..., hop*(T-1))``.
@@ -204,9 +206,13 @@ def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,
     # so the carry dtype only has to hold ~3 significant digits of phase.
     carry_dtype = (jnp.bfloat16 if (precision == jax.lax.Precision.DEFAULT
                                     and use_matmul) else jnp.float32)
-    phase = jax.random.uniform(key, mag.shape, jnp.float32, 0.0, 2.0 * jnp.pi)
-    ang_re = jnp.cos(phase).astype(carry_dtype)
-    ang_im = jnp.sin(phase).astype(carry_dtype)
+    if init_angles is not None:
+        ang_re = init_angles[0].astype(carry_dtype)
+        ang_im = init_angles[1].astype(carry_dtype)
+    else:
+        phase = jax.random.uniform(key, mag.shape, jnp.float32, 0.0, 2.0 * jnp.pi)
+        ang_re = jnp.cos(phase).astype(carry_dtype)
+        ang_im = jnp.sin(phase).astype(carry_dtype)
     reb_re = jnp.zeros_like(mag, carry_dtype)
     reb_im = jnp.zeros_like(mag, carry_dtype)
     alpha = momentum / (1.0 + momentum)

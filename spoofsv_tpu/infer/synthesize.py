@@ -40,6 +40,9 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
     precision = (jax.lax.Precision.HIGHEST
                  if cfg.tpu.griffin_lim_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
+    impl = cfg.tpu.griffin_lim_impl
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() != "cpu"))
 
     @jax.jit
     def vocode(lin_pred: Array, key: Array) -> Array:
@@ -51,8 +54,13 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
             peak = jnp.max(x, axis=(1, 2), keepdims=True)
             x = x / jnp.maximum(peak, 1e-8)
         spec = jnp.power(x, power)
-        audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft, n_iter=n_iter,
-                                   precision=precision)
+        if use_pallas:
+            from spoofsv_tpu.ops.pallas_gl import griffin_lim_fused
+            audio = griffin_lim_fused(spec, key, n_fft, hop, n_fft,
+                                      n_iter=n_iter, precision=precision)
+        else:
+            audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft,
+                                       n_iter=n_iter, precision=precision)
         return jaxdsp.deemphasis(audio, coeff=cfg.preemph)
 
     return vocode

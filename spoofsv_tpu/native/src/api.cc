@@ -98,6 +98,55 @@ void sk_acc_stats(void* ubm, const double* feats, int T, int D, double* N_out,
   std::memcpy(F_out, F_c.data.data(), F_c.data.size() * sizeof(double));
 }
 
+// ---------------- full-covariance UBM ----------------
+void* sk_train_full_ubm(void* diag_handle, const double* frames, int N, int D,
+                        int iters, int verbose) {
+  Mat f(N, D);
+  std::memcpy(f.data.data(), frames, (size_t)N * D * sizeof(double));
+  return new FullGmm(train_full_ubm(f, *(DiagGmm*)diag_handle, iters, verbose));
+}
+
+void sk_full_ubm_get(void* h, double* weights, double* means, double* covs) {
+  FullGmm* g = (FullGmm*)h;
+  int C = g->num_comp, D = g->dim;
+  std::memcpy(weights, g->weights.data(), C * sizeof(double));
+  std::memcpy(means, g->means.data.data(), (size_t)C * D * sizeof(double));
+  for (int c = 0; c < C; ++c)
+    std::memcpy(covs + (size_t)c * D * D, g->covs[c].data.data(),
+                (size_t)D * D * sizeof(double));
+}
+
+void* sk_full_ubm_from(const double* weights, const double* means,
+                       const double* covs, int C, int D) {
+  FullGmm* g = new FullGmm();
+  g->num_comp = C;
+  g->dim = D;
+  g->weights.assign(weights, weights + C);
+  g->means = Mat(C, D);
+  std::memcpy(g->means.data.data(), means, (size_t)C * D * sizeof(double));
+  g->covs.assign(C, Mat(D, D));
+  for (int c = 0; c < C; ++c)
+    std::memcpy(g->covs[c].data.data(), covs + (size_t)c * D * D,
+                (size_t)D * D * sizeof(double));
+  g->refresh_inverses();
+  return g;
+}
+
+void sk_full_ubm_free(void* h) { delete (FullGmm*)h; }
+
+void sk_full_acc_stats(void* fubm, const double* feats, int T, int D,
+                       double* N_out, double* F_out) {
+  FullGmm* g = (FullGmm*)fubm;
+  Mat f(T, D);
+  std::memcpy(f.data.data(), feats, (size_t)T * D * sizeof(double));
+  FullGmmScorer scorer(*g);
+  Vec N_c;
+  Mat F_c;
+  accumulate_stats_full(scorer, f, &N_c, &F_c);
+  std::memcpy(N_out, N_c.data(), N_c.size() * sizeof(double));
+  std::memcpy(F_out, F_c.data.data(), F_c.data.size() * sizeof(double));
+}
+
 // ---------------- i-vector extractor ----------------
 void* sk_train_ivector(const double* means, const double* vars, int C, int D,
                        int R, const double* allN, const double* allF, int U,
@@ -130,6 +179,38 @@ void sk_extract_ivector(void* h, const double* Nc, const double* Fc,
 }
 
 void sk_ivector_free(void* h) { delete (IvectorExtractor*)h; }
+
+// ---------------- full-covariance i-vector extractor ----------------
+void* sk_train_ivector_full(void* fubm, int R, const double* allN,
+                            const double* allF, int U, int iters,
+                            uint64_t seed, int verbose) {
+  FullGmm* g = (FullGmm*)fubm;
+  int C = g->num_comp, D = g->dim;
+  std::vector<Vec> N_list(U, Vec(C));
+  std::vector<Mat> F_list(U, Mat(C, D));
+  for (int u = 0; u < U; ++u) {
+    std::memcpy(N_list[u].data(), allN + (size_t)u * C, C * sizeof(double));
+    std::memcpy(F_list[u].data.data(), allF + (size_t)u * C * D,
+                (size_t)C * D * sizeof(double));
+  }
+  return new IvectorExtractorFull(train_ivector_extractor_full(
+      g->means, g->inv_covs, R, N_list, F_list, iters, seed, verbose));
+}
+
+int sk_ivector_full_dim(void* h) { return ((IvectorExtractorFull*)h)->ivec_dim; }
+
+void sk_extract_ivector_full(void* h, const double* Nc, const double* Fc,
+                             double* out) {
+  IvectorExtractorFull* ext = (IvectorExtractorFull*)h;
+  Vec N(Nc, Nc + ext->num_comp);
+  Mat F(ext->num_comp, ext->dim);
+  std::memcpy(F.data.data(), Fc,
+              (size_t)ext->num_comp * ext->dim * sizeof(double));
+  Vec iv = extract_ivector_full(*ext, N, F);
+  std::memcpy(out, iv.data(), iv.size() * sizeof(double));
+}
+
+void sk_ivector_full_free(void* h) { delete (IvectorExtractorFull*)h; }
 
 // ---------------- PLDA ----------------
 void* sk_train_plda(const double* ivecs, int N, int D, const int* labels,

@@ -183,8 +183,16 @@ struct FullGmm {
   int num_comp = 0, dim = 0;
   Vec weights;
   Mat means;                       // (C, D)
+  std::vector<Mat> covs;           // per-component covariance (D, D)
   std::vector<Mat> inv_covs;      // per-component inverse covariance (D, D)
   Vec logdets;                     // log|Sigma_c|
+
+  void refresh_inverses() {
+    inv_covs.resize(num_comp);
+    logdets.assign(num_comp, 0.0);
+    for (int c = 0; c < num_comp; ++c)
+      inv_covs[c] = spd_inverse(covs[c], &logdets[c]);
+  }
 };
 
 // One-pass full-covariance re-estimation from diag-UBM posteriors
@@ -253,9 +261,57 @@ FullGmm train_full_ubm(const Mat& frames, const DiagGmm& diag, int num_iters,
     for (int c = 0; c < C; ++c) full.weights[c] /= wsum;
     if (verbose) fprintf(stderr, "[full-ubm] iter %d done\n", it);
   }
-  for (int c = 0; c < C; ++c)
-    full.inv_covs[c] = spd_inverse(covs[c], &full.logdets[c]);
+  full.covs = covs;
+  full.refresh_inverses();
   return full;
+}
+
+// Frame log-likelihoods under the full-covariance GMM (precomputed constants).
+struct FullGmmScorer {
+  const FullGmm& gmm;
+  Vec logconst;  // log w_c − ½(D·log 2π + log|Σ_c|)
+
+  explicit FullGmmScorer(const FullGmm& g) : gmm(g), logconst(g.num_comp) {
+    for (int c = 0; c < g.num_comp; ++c)
+      logconst[c] = std::log(std::max(g.weights[c], 1e-20)) -
+                    0.5 * (g.dim * std::log(2.0 * M_PI) + g.logdets[c]);
+  }
+
+  void loglikes(const double* x, Vec* ll) const {
+    int C = gmm.num_comp, D = gmm.dim;
+    Vec diff(D);
+    for (int c = 0; c < C; ++c) {
+      for (int d = 0; d < D; ++d) diff[d] = x[d] - gmm.means[c][d];
+      double q = 0.0;
+      for (int a = 0; a < D; ++a) {
+        const double* row = gmm.inv_covs[c][a];
+        double s = 0.0;
+        for (int b = 0; b < D; ++b) s += row[b] * diff[b];
+        q += diff[a] * s;
+      }
+      (*ll)[c] = logconst[c] - 0.5 * q;
+    }
+  }
+};
+
+// Baum-Welch stats against the full UBM (kaldi fgmm-global-gselect-to-post →
+// ivector-extractor-acc-stats path of run.sh:119-129).
+void accumulate_stats_full(const FullGmmScorer& scorer, const Mat& feats,
+                           Vec* N_c, Mat* F_c) {
+  int C = scorer.gmm.num_comp, D = scorer.gmm.dim;
+  N_c->assign(C, 0.0);
+  *F_c = Mat(C, D);
+  Vec ll(C);
+  for (int t = 0; t < feats.rows; ++t) {
+    scorer.loglikes(feats[t], &ll);
+    double lse = log_sum_exp(ll);
+    for (int c = 0; c < C; ++c) {
+      double post = std::exp(ll[c] - lse);
+      if (post < 1e-6) continue;
+      (*N_c)[c] += post;
+      for (int d = 0; d < D; ++d) (*F_c)[c][d] += post * feats[t][d];
+    }
+  }
 }
 
 // Zeroth/first-order Baum-Welch stats of an utterance against the diag UBM

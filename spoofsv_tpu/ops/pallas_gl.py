@@ -1,0 +1,353 @@
+"""Fused Griffin-Lim TPU kernel (Pallas/Mosaic).
+
+The XLA Griffin-Lim (:func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim`) spends each of
+its 64 iterations round-tripping the ``(B, T, n_fft)`` frames and ``(B, L)``
+signal tensors through HBM (measured 17.5 ms/iteration at B=128, T=1300 on
+v5e — ~5x the compute roofline). This kernel runs the *entire* 64-iteration
+loop for one utterance inside VMEM: grid ``(B,)``, one grid step = one
+utterance, zero HBM traffic between iterations.
+
+Key design points (all shapes static; reference behavior is librosa 0.7
+``griffinlim`` as called at ``synthesize.py:144``):
+
+* **DFT-as-matmul on the MXU** — the axon TPU backend has no FFT, and a
+  1024-point rDFT is two (1024, 513) matmuls. The four DFT matrices are
+  generated *inside* the kernel from ``broadcasted_iota`` (exact int32
+  ``n*k mod N`` angle reduction), because embedding 8 MB of constants in the
+  HLO overflows the remote-compile request limit.
+* **No signal materialization per iteration** — with hop = n_fft/4 the
+  ISTFT→STFT round trip couples analysis frame ``t`` only to synthesis frames
+  ``t-3..t+3``:  ``ana[t, j] = w[j]·invwss[256t+j]·Σ_d fsyn[t+d, j-256d]``.
+  The interior ``wss`` is exactly 1.5 for the periodic Hann window, so the
+  shift-sum needs no signal buffer at all.
+* **Exact edges** — the first/last 3 frames see the true ``window_sumsquare``
+  edge values, and frames {0, 1, T-2, T-1} see librosa's reflect padding; both
+  are reconstructed exactly from a 1536-sample overlap-add at each boundary
+  (reversal implemented as a 0/1 flip-matrix matmul — exact, and avoids
+  relying on ``lax.rev`` support in Mosaic).
+* **bf16 state** — phase/rebuilt carries and matmul operands are bf16
+  (matching the XLA path's measured-neutral precision choice); accumulation
+  and the momentum/normalize step are f32.
+
+The final ``istft(mag·ang)`` runs outside the kernel in f32 via
+:func:`spoofsv_tpu.dsp.jaxdsp.istft_ri`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - exercised on TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+    _SMEM = pltpu.SMEM
+
+    def _scratch(shape, dtype):
+        return pltpu.VMEM(shape, dtype)
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+    _SMEM = None
+    _scratch = None
+
+TT = 128          # frame-tile rows per matmul
+_EPS_WSS = 1e-11  # istft_ri's window-sum-square threshold
+
+
+def _supported(n_fft: int, hop: int, win_length: int, T: int) -> bool:
+    return (win_length == n_fft and n_fft % hop == 0 and n_fft // hop == 4
+            and hop % 128 == 0 and T >= 16)
+
+
+def _hash_mix(tt, kk, seed):
+    """int32 murmur3-style mixer over (frame, bin, seed) — identical bits to
+    the uint32 formulation via two's-complement wrap-around."""
+    srl = jax.lax.shift_right_logical
+    h = ((tt * jnp.int32(73856093)) ^ (kk * jnp.int32(19349663))
+         ^ (seed * jnp.int32(83492791)))
+    h = h ^ srl(h, 16)
+    h = h * jnp.int32(-2048144789)   # 0x85EBCA6B as two's-complement int32
+    h = h ^ srl(h, 13)
+    h = h * jnp.int32(-1028477387)   # 0xC2B2AE35
+    h = h ^ srl(h, 16)
+    return h
+
+
+def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
+               fsyn, rebre, rebim, dftc, dfts, invc, invs,
+               wvec, invw_l, invw_r, flip, ana, sedge, eana, *,
+               n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
+               momentum: float):
+    N = n_fft
+    F = N // 2 + 1
+    n_tiles = Tp // TT
+    alpha = momentum / (1.0 + momentum)
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    # ------------------------------------------------------------------
+    # One-time constants (scratch persists across grid steps)
+    # ------------------------------------------------------------------
+    @pl.when(pl.program_id(0) == 0)
+    def _init_consts():
+        ii = jax.lax.broadcasted_iota(jnp.int32, (N, F), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (N, F), 1)
+        th = ((ii * kk) % N).astype(f32) * f32(2.0 * np.pi / N)
+        dftc[:] = jnp.cos(th).astype(bf16)
+        dfts[:] = (-jnp.sin(th)).astype(bf16)
+
+        k2 = jax.lax.broadcasted_iota(jnp.int32, (F, N), 0)
+        n2 = jax.lax.broadcasted_iota(jnp.int32, (F, N), 1)
+        th2 = ((k2 * n2) % N).astype(f32) * f32(2.0 * np.pi / N)
+        wk = jnp.where((k2 == 0) | (k2 == F - 1), 1.0, 2.0).astype(f32) / N
+        invc[:] = (wk * jnp.cos(th2)).astype(bf16)
+        invs[:] = (-wk * jnp.sin(th2)).astype(bf16)
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1).astype(f32)
+        w = 0.5 - 0.5 * jnp.cos(j * f32(2.0 * np.pi / N))
+        wvec[:] = w
+        w2 = w * w
+
+        # window_sumsquare edges: chunk r of w² is w2[:, hop*r : hop*(r+1)]
+        for m in range(6):  # left: samples [hop*m, hop*(m+1))
+            acc = jnp.zeros((1, hop), f32)
+            for r in range(0, min(3, m) + 1):
+                acc = acc + w2[:, hop * r: hop * (r + 1)]
+            invw_l[m:m + 1, :] = jnp.where(acc > _EPS_WSS, 1.0 / jnp.maximum(acc, _EPS_WSS), 1.0)
+        for idx in range(6):  # right: chunk M = T-3+idx of the OLA signal
+            acc = jnp.zeros((1, hop), f32)
+            for r in range(max(0, idx - 2), 4):
+                acc = acc + w2[:, hop * r: hop * (r + 1)]
+            invw_r[idx:idx + 1, :] = jnp.where(acc > _EPS_WSS, 1.0 / jnp.maximum(acc, _EPS_WSS), 1.0)
+
+        fi = jax.lax.broadcasted_iota(jnp.int32, (N // 2, N // 2), 0)
+        fj = jax.lax.broadcasted_iota(jnp.int32, (N // 2, N // 2), 1)
+        flip[:] = (fi + fj == N // 2 - 1).astype(f32)
+
+    # ------------------------------------------------------------------
+    # Per-utterance state init
+    # ------------------------------------------------------------------
+    fsyn[:] = jnp.zeros_like(fsyn)
+    rebre[:] = jnp.zeros_like(rebre)
+    rebim[:] = jnp.zeros_like(rebim)
+
+    # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32 wrap-
+    # around multiplies + logical shifts give identical bits)
+    seed = seed_ref[pl.program_id(0)]
+    tt_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 0)
+    kk_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 1)
+    h = _hash_mix(tt_, kk_, seed)
+    phase = (h & jnp.int32(0xFFFFFF)).astype(f32) * f32(
+        2.0 * np.pi / (1 << 24))
+    angre_ref[0] = jnp.cos(phase).astype(bf16)
+    angim_ref[0] = jnp.sin(phase).astype(bf16)
+
+    def _rev(x, width):
+        """Exact lane reversal of a (1, width) f32 vector via the 0/1 flip
+        matrix (width ∈ {hop, N/2}; flip[i, j] = [i + j == N/2 - 1])."""
+        if width == N // 2:
+            fm = flip[:]
+        else:
+            fm = flip[0:width, N // 2 - width: N // 2]
+        return jnp.dot(x, fm, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def iteration(it, carry):
+        # ---- Phase A: fsyn[f] = irfft(mag·ang)[f] ⊙ w  (all frames) ----
+        for t in range(n_tiles):
+            r0 = t * TT
+            m = mag_ref[0, r0:r0 + TT, :].astype(f32)
+            are = angre_ref[0, r0:r0 + TT, :].astype(f32)
+            aim = angim_ref[0, r0:r0 + TT, :].astype(f32)
+            cre = (m * are).astype(bf16)
+            cim = (m * aim).astype(bf16)
+            fr = jnp.dot(cre, invc[:], preferred_element_type=f32)
+            fr = fr + jnp.dot(cim, invs[:], preferred_element_type=f32)
+            fsyn[3 + r0: 3 + r0 + TT, :] = (fr * wvec[:]).astype(bf16)
+
+        # ---- Edge signal reconstruction (exact wss + reflect) ----
+        # sedge row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left edge);
+        # sedge row 1: samples [L-6·hop, L), L = hop·(T+3) (right edge).
+        # Assembled via scratch slice-writes — Mosaic cannot concatenate
+        # vectors whose sublane offsets differ.
+        for m in range(6):
+            acc = jnp.zeros((1, hop), f32)
+            for r in range(0, min(3, m) + 1):
+                acc = acc + fsyn[3 + m - r: 4 + m - r,
+                                 hop * r: hop * (r + 1)].astype(f32)
+            sedge[0:1, hop * m: hop * (m + 1)] = acc * invw_l[m:m + 1, :]
+        for idx in range(6):
+            M = T - 3 + idx
+            acc = jnp.zeros((1, hop), f32)
+            for r in range(max(0, idx - 2), 4):
+                acc = acc + fsyn[3 + M - r: 4 + M - r,
+                                 hop * r: hop * (r + 1)].astype(f32)
+            sedge[1:2, hop * idx: hop * (idx + 1)] = acc * invw_r[idx:idx + 1, :]
+
+        sl = sedge[0:1, :]
+        sr = sedge[1:2, :]
+        w_row = wvec[:]
+        H = N // 2
+        # 6 corrected analysis frames, built piecewise into eana rows
+        # 0..2 = frames 0,1,2; 3..5 = frames T-3,T-2,T-1.
+        # librosa reflect-pads by n_fft/2: sig_a[u < N/2] = sigw[N - u]
+        eana[0:1, 0:H] = _rev(sl[:, H + 1: N + 1], H) * w_row[:, 0:H]
+        eana[0:1, H:N] = sl[:, H:N] * w_row[:, H:N]
+        eana[1:2, 0:hop] = _rev(sl[:, H + 1: H + 1 + hop], hop) * w_row[:, 0:hop]
+        eana[1:2, hop:N] = sl[:, H: H + 3 * hop] * w_row[:, hop:N]
+        eana[2:3, :] = sl[:, H: H + N] * w_row
+        # right edge; reflect: sig_a[u ≥ L-N/2] = sigw[2L - N - 2 - u]
+        eana[3:4, :] = sr[:, 0:N] * w_row
+        eana[4:5, 0:3 * hop] = sr[:, hop:N] * w_row[:, 0:3 * hop]
+        eana[4:5, 3 * hop:N] = (_rev(sr[:, 3 * hop - 1: N - 1], hop)
+                                * w_row[:, 3 * hop:N])
+        eana[5:6, 0:H] = sr[:, 2 * hop:N] * w_row[:, 0:H]
+        eana[5:6, H:N] = _rev(sr[:, H - 1: N - 1], H) * w_row[:, H:N]
+        edge_rows = {0: 0, 1: 1, 2: 2, T - 3: 3, T - 2: 4, T - 1: 5}
+
+        # ---- Phase B: reb = stft(sigw); momentum; normalize ----
+        for t in range(n_tiles):
+            r0 = t * TT
+            ana[:] = fsyn[r0 + 3: r0 + 3 + TT, :].astype(f32)   # d = 0
+            for d in (-3, -2, -1, 1, 2, 3):
+                s = hop * d
+                rows = fsyn[r0 + 3 + d: r0 + 3 + d + TT, :]
+                if d > 0:
+                    ana[:, s:] = ana[:, s:] + rows[:, :N - s].astype(f32)
+                else:
+                    ana[:, :N + s] = ana[:, :N + s] + rows[:, -s:].astype(f32)
+            ana[:] = ana[:] * (w_row * f32(1.0 / 1.5))
+            for frame, erow in edge_rows.items():
+                if r0 <= frame < r0 + TT:
+                    p = frame - r0
+                    ana[p:p + 1, :] = eana[erow:erow + 1, :]
+            ab = ana[:].astype(bf16)
+            rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
+            ri = jnp.dot(ab, dfts[:], preferred_element_type=f32)
+            tr = rebre[r0:r0 + TT, :].astype(f32)
+            ti = rebim[r0:r0 + TT, :].astype(f32)
+            a_re = rr - alpha * tr
+            a_im = ri - alpha * ti
+            nrm = jnp.sqrt(a_re * a_re + a_im * a_im) + 1e-16
+            angre_ref[0, r0:r0 + TT, :] = (a_re / nrm).astype(bf16)
+            angim_ref[0, r0:r0 + TT, :] = (a_im / nrm).astype(bf16)
+            rebre[r0:r0 + TT, :] = rr.astype(bf16)
+            rebim[r0:r0 + TT, :] = ri.astype(bf16)
+        return carry
+
+    jax.lax.fori_loop(0, n_iter, iteration, 0)
+
+
+def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Array]:
+    """Plain-jnp mirror of the kernel's deterministic phase init — used by the
+    parity tests to feed the XLA Griffin-Lim the same starting angles.
+
+    ``seeds``: (B,) int32 → (ang_re, ang_im), each (B, T, F) bf16.
+    """
+    seed = seeds.astype(jnp.int32)[:, None, None]               # (B, 1, 1)
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    kk = jnp.arange(F, dtype=jnp.int32)[None, None, :]
+    h = _hash_mix(tt, kk, seed)
+    phase = (h & jnp.int32(0xFFFFFF)).astype(jnp.float32) * np.float32(
+        2.0 * np.pi / (1 << 24))
+    return (jnp.cos(phase).astype(jnp.bfloat16),
+            jnp.sin(phase).astype(jnp.bfloat16))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "hop", "n_iter", "momentum", "interpret"))
+def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
+                    hop: int, n_iter: int, momentum: float,
+                    interpret: bool) -> Tuple[jax.Array, jax.Array]:
+    B, T, F = mag_bf16.shape
+    Tp = -(-T // TT) * TT
+    mag_p = jnp.pad(mag_bf16, ((0, 0), (0, Tp - T), (0, 0)))
+    N = n_fft
+
+    kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
+                               n_iter=n_iter, momentum=momentum)
+    kw = {}
+    if _VMEM is not None and not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    def vspec(block, idx):
+        return pl.BlockSpec(block, idx,
+                            **({"memory_space": _VMEM} if _VMEM else {}))
+
+    scratches = [
+        _scratch((Tp + 8, N), jnp.bfloat16),   # fsyn (frame f at row 3+f)
+        _scratch((Tp, F), jnp.bfloat16),       # reb_prev re
+        _scratch((Tp, F), jnp.bfloat16),       # reb_prev im
+        _scratch((N, F), jnp.bfloat16),        # fwd DFT cos
+        _scratch((N, F), jnp.bfloat16),        # fwd DFT -sin
+        _scratch((F, N), jnp.bfloat16),        # inv DFT cos (incl. w_k/N)
+        _scratch((F, N), jnp.bfloat16),        # inv DFT -sin
+        _scratch((1, N), jnp.float32),         # hann window
+        _scratch((6, hop), jnp.float32),       # invwss left edge
+        _scratch((6, hop), jnp.float32),       # invwss right edge
+        _scratch((N // 2, N // 2), jnp.float32),  # flip (reversal) matrix
+        _scratch((TT, N), jnp.float32),        # ana tile
+        _scratch((2, 6 * hop), jnp.float32),   # edge OLA signal (left/right)
+        _scratch((8, N), jnp.float32),         # 6 corrected edge ana frames
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[vspec((1, Tp, F), lambda b, sref: (b, 0, 0))],
+        out_specs=(vspec((1, Tp, F), lambda b, sref: (b, 0, 0)),
+                   vspec((1, Tp, F), lambda b, sref: (b, 0, 0))),
+        scratch_shapes=scratches,
+    )
+    ang_re, ang_im = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16)),
+        interpret=interpret,
+        **kw,
+    )(seeds, mag_p)
+    return ang_re[:, :T, :], ang_im[:, :T, :]
+
+
+def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
+                      hop_length: int, win_length: int, n_iter: int = 64,
+                      momentum: float = 0.99,
+                      use_matmul: Optional[bool] = None,
+                      precision=jax.lax.Precision.DEFAULT,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """Drop-in for :func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim` running the
+    64-iteration loop in a single VMEM-resident Pallas kernel.
+
+    Falls back to the XLA implementation for unsupported geometries
+    (hop ≠ n_fft/4, short spectrograms).
+    """
+    from spoofsv_tpu.dsp import jaxdsp
+
+    B, T, F = mag.shape
+    if pltpu is None or not _supported(n_fft, hop_length, win_length, T):
+        return jaxdsp.griffin_lim(mag, key, n_fft, hop_length, win_length,
+                                  n_iter=n_iter, momentum=momentum,
+                                  use_matmul=use_matmul, precision=precision)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if use_matmul is None:
+        use_matmul = jaxdsp._default_use_matmul()
+    seeds = jax.random.randint(key, (B,), 0, np.iinfo(np.int32).max,
+                               dtype=jnp.int32)
+    ang_re, ang_im = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
+                                     n_fft, hop_length, n_iter, momentum,
+                                     bool(interpret))
+    mag = mag.astype(jnp.float32)
+    return jaxdsp.istft_ri(mag * ang_re.astype(jnp.float32),
+                           mag * ang_im.astype(jnp.float32),
+                           n_fft, hop_length, win_length,
+                           use_matmul=use_matmul, precision=precision)

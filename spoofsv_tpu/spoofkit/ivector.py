@@ -67,6 +67,25 @@ def _load_lib() -> ctypes.CDLL:
     lib.sk_diag_ubm_free.argtypes = [ctypes.c_void_p]
     lib.sk_acc_stats.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
                                  ctypes.c_int, c_double_p, c_double_p]
+    lib.sk_train_full_ubm.restype = ctypes.c_void_p
+    lib.sk_train_full_ubm.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.sk_full_ubm_get.argtypes = [ctypes.c_void_p] + [c_double_p] * 3
+    lib.sk_full_ubm_from.restype = ctypes.c_void_p
+    lib.sk_full_ubm_from.argtypes = [c_double_p] * 3 + [ctypes.c_int] * 2
+    lib.sk_full_ubm_free.argtypes = [ctypes.c_void_p]
+    lib.sk_full_acc_stats.argtypes = [ctypes.c_void_p, c_double_p, ctypes.c_int,
+                                      ctypes.c_int, c_double_p, c_double_p]
+    lib.sk_train_ivector_full.restype = ctypes.c_void_p
+    lib.sk_train_ivector_full.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                          c_double_p, c_double_p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_uint64,
+                                          ctypes.c_int]
+    lib.sk_ivector_full_dim.restype = ctypes.c_int
+    lib.sk_ivector_full_dim.argtypes = [ctypes.c_void_p]
+    lib.sk_extract_ivector_full.argtypes = [ctypes.c_void_p, c_double_p,
+                                            c_double_p, c_double_p]
+    lib.sk_ivector_full_free.argtypes = [ctypes.c_void_p]
     lib.sk_train_ivector.restype = ctypes.c_void_p
     lib.sk_train_ivector.argtypes = [c_double_p, c_double_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int, c_double_p,
@@ -178,6 +197,92 @@ class UBM:
         return cls(z["weights"], z["means"], z["vars"])
 
 
+class FullUBM:
+    """Full-covariance UBM re-estimated from the diag UBM's posteriors
+    (``kaldi_ivectors/run.sh:110-118``: gmm-global-to-fgmm + fgmm re-est)."""
+
+    def __init__(self, weights: np.ndarray, means: np.ndarray,
+                 covs: np.ndarray):
+        self.weights = weights
+        self.means = means
+        self.covs = covs               # (C, D, D)
+        self._handle = None
+
+    @classmethod
+    def train(cls, diag: UBM, frames: np.ndarray, iters: int = 3,
+              verbose: bool = False) -> "FullUBM":
+        lib = _load_lib()
+        frames = np.ascontiguousarray(frames, np.float64)
+        n, d = frames.shape
+        c = diag.means.shape[0]
+        h = lib.sk_train_full_ubm(diag.handle(), _dp(frames), n, d, iters,
+                                  int(verbose))
+        w = np.zeros((c,), np.float64)
+        m = np.zeros((c, d), np.float64)
+        cv = np.zeros((c, d, d), np.float64)
+        lib.sk_full_ubm_get(h, _dp(w), _dp(m), _dp(cv))
+        lib.sk_full_ubm_free(h)
+        return cls(w, m, cv)
+
+    def handle(self):
+        if self._handle is None:
+            lib = _load_lib()
+            c, d = self.means.shape
+            self._handle = lib.sk_full_ubm_from(
+                _dp(np.ascontiguousarray(self.weights)),
+                _dp(np.ascontiguousarray(self.means)),
+                _dp(np.ascontiguousarray(self.covs)), c, d)
+        return self._handle
+
+    def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        lib = _load_lib()
+        c, d = self.means.shape
+        feats = np.ascontiguousarray(feats, np.float64)
+        N = np.zeros((c,), np.float64)
+        F = np.zeros((c, d), np.float64)
+        lib.sk_full_acc_stats(self.handle(), _dp(feats), feats.shape[0], d,
+                              _dp(N), _dp(F))
+        return N, F
+
+    def save(self, path: str) -> None:
+        np.savez(path, weights=self.weights, means=self.means, covs=self.covs)
+
+    @classmethod
+    def load(cls, path: str) -> "FullUBM":
+        z = np.load(path)
+        return cls(z["weights"], z["means"], z["covs"])
+
+
+class IvectorExtractorFull:
+    """T-matrix extractor on the full-covariance UBM (the configuration the
+    reference's Kaldi pipeline actually runs — ``run.sh:119-129``)."""
+
+    def __init__(self, handle, ivec_dim: int):
+        self._handle = handle
+        self.ivec_dim = ivec_dim
+
+    @classmethod
+    def train(cls, fubm: FullUBM,
+              stats: Sequence[Tuple[np.ndarray, np.ndarray]],
+              ivec_dim: int = 100, iters: int = 5, seed: int = 0,
+              verbose: bool = False) -> "IvectorExtractorFull":
+        lib = _load_lib()
+        u = len(stats)
+        allN = np.ascontiguousarray(np.stack([s[0] for s in stats]), np.float64)
+        allF = np.ascontiguousarray(np.stack([s[1] for s in stats]), np.float64)
+        h = lib.sk_train_ivector_full(fubm.handle(), ivec_dim, _dp(allN),
+                                      _dp(allF), u, iters, seed, int(verbose))
+        return cls(h, ivec_dim)
+
+    def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
+        lib = _load_lib()
+        out = np.zeros((self.ivec_dim,), np.float64)
+        lib.sk_extract_ivector_full(
+            self._handle, _dp(np.ascontiguousarray(N, np.float64)),
+            _dp(np.ascontiguousarray(F, np.float64)), _dp(out))
+        return out
+
+
 class IvectorExtractor:
     def __init__(self, handle, ivec_dim: int):
         self._handle = handle
@@ -264,13 +369,16 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
                          eval_num: int = 20, num_gauss: int = 256,
                          ivec_dim: int = 100, max_train_utts_per_spk: int = 40,
                          ubm_frames_cap: int = 200_000, seed: int = 0,
-                         workers: int = 8, verbose: bool = True
+                         workers: int = 8, verbose: bool = True,
+                         use_full_ubm: bool = True, full_ubm_iters: int = 3
                          ) -> Dict[str, float]:
     """Full evaluation: train UBM/T/PLDA on the staged train speakers, score
     mixed + no-spoof trials, report EER / clean threshold / spoof rate.
 
     Defaults are scaled down from Kaldi aishell v1 (1024 Gauss / 400-dim
     i-vectors — run.sh:105-129) to fit a single-machine run; both are knobs.
+    ``use_full_ubm`` mirrors Kaldi's diag→full UBM upgrade (run.sh:110-118):
+    stats and the T-matrix then use the full-covariance model.
     """
     import concurrent.futures
 
@@ -304,16 +412,28 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     if verbose:
         print(f"[ivector] training {num_gauss}-comp diag UBM on {len(pool)} frames")
     ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose)
+    if use_full_ubm:
+        if verbose:
+            print(f"[ivector] re-estimating full-covariance UBM ({full_ubm_iters} iters)")
+        stats_model = FullUBM.train(ubm, pool, iters=full_ubm_iters,
+                                    verbose=verbose)
+    else:
+        stats_model = ubm
 
     # ---- 3. stats + T-matrix
     if verbose:
         print("[ivector] accumulating stats + training T matrix")
     with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-        stats = list(ex.map(ubm.acc_stats,
+        stats = list(ex.map(stats_model.acc_stats,
                             [f for f in train_feats if len(f) > 0]))
     kept = [i for i, f in enumerate(train_feats) if len(f) > 0]
-    extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim, iters=5,
-                                       seed=seed, verbose=verbose)
+    if use_full_ubm:
+        extractor = IvectorExtractorFull.train(stats_model, stats,
+                                               ivec_dim=ivec_dim, iters=5,
+                                               seed=seed, verbose=verbose)
+    else:
+        extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim,
+                                           iters=5, seed=seed, verbose=verbose)
 
     # ---- 4. train i-vectors + PLDA
     with concurrent.futures.ThreadPoolExecutor(workers) as ex:
@@ -332,7 +452,7 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
         f = mfcc_vad_features(path)
         if len(f) == 0:
             return None
-        iv = extractor.extract(*ubm.acc_stats(f))
+        iv = extractor.extract(*stats_model.acc_stats(f))
         return plda.transform(length_normalize(iv - mean_ivec))
 
     def score_testdir(d: str, with_index_split: bool = True):

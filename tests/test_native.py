@@ -106,6 +106,62 @@ class TestUbmIvectorPlda:
         eer, thr = ivec.compute_eer(np.asarray(same), np.asarray(diff))
         assert eer < 0.2, f"EER {eer}"
 
+    def test_full_ubm_recovers_correlated_clusters(self, ivec):
+        """Full-cov re-estimation captures a strongly correlated component
+        that the diag UBM cannot represent."""
+        rng = np.random.default_rng(4)
+        cov = np.asarray([[1.0, 0.9], [0.9, 1.0]])
+        a = rng.multivariate_normal([-4.0, 0.0], cov, 800)
+        b = rng.multivariate_normal([4.0, 0.0], np.eye(2) * 0.3, 800)
+        frames = np.concatenate([a, b])
+        diag = ivec.UBM.train(frames, 2, iters=5, seed=5)
+        full = ivec.FullUBM.train(diag, frames, iters=3)
+        np.testing.assert_allclose(full.weights.sum(), 1.0, atol=1e-6)
+        # the component near (-4, 0) must have learned the 0.9 correlation
+        ci = int(np.argmin(np.abs(full.means[:, 0] + 4.0)))
+        c = full.covs[ci]
+        rho = c[0, 1] / np.sqrt(c[0, 0] * c[1, 1])
+        assert rho > 0.7, (rho, c)
+
+    def test_full_stack_separates_speakers_full_cov(self, ivec):
+        """Same full-stack check through the full-covariance UBM + extractor
+        (the configuration kaldi_ivectors/run.sh actually runs)."""
+        rng = np.random.default_rng(6)
+        _, data = synthetic_speakers(rng)
+        pool = np.concatenate([f for _, f in data])[::3]
+        diag = ivec.UBM.train(pool, 8, iters=3, seed=2)
+        full = ivec.FullUBM.train(diag, pool, iters=2)
+        stats = [full.acc_stats(f) for _, f in data]
+        ext = ivec.IvectorExtractorFull.train(full, stats, ivec_dim=6,
+                                              iters=3, seed=3)
+        ivecs = np.stack([ext.extract(*s) for s in stats])
+        labels = np.asarray([s for s, _ in data], np.int32)
+        mean = ivecs.mean(0)
+        normed = np.stack([ivec.length_normalize(v - mean) for v in ivecs])
+        plda = ivec.PLDA.train(normed, labels)
+        tr = np.stack([plda.transform(v) for v in normed])
+        same, diff = [], []
+        for i in range(len(tr)):
+            for j in range(i + 1, len(tr)):
+                llr = plda.llr(tr[i], 1, tr[j])
+                (same if labels[i] == labels[j] else diff).append(llr)
+        eer, _ = ivec.compute_eer(np.asarray(same), np.asarray(diff))
+        assert eer < 0.2, f"EER {eer}"
+
+    def test_full_ubm_save_load_roundtrip(self, ivec, tmp_path):
+        rng = np.random.default_rng(7)
+        frames = rng.normal(size=(600, 3))
+        diag = ivec.UBM.train(frames, 2, iters=2, seed=8)
+        full = ivec.FullUBM.train(diag, frames, iters=1)
+        p = str(tmp_path / "fubm.npz")
+        full.save(p)
+        back = ivec.FullUBM.load(p)
+        np.testing.assert_allclose(back.covs, full.covs)
+        n1, f1 = full.acc_stats(frames[:50])
+        n2, f2 = back.acc_stats(frames[:50])
+        np.testing.assert_allclose(n1, n2)
+        np.testing.assert_allclose(f1, f2)
+
     def test_eer_known_values(self, ivec):
         target = np.asarray([2.0, 3.0, 4.0, 5.0])
         nontarget = np.asarray([-5.0, -4.0, -3.0, -2.0])

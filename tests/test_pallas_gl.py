@@ -1,0 +1,119 @@
+"""Parity tests for the fused Pallas Griffin-Lim kernel (interpret mode on CPU).
+
+The reference implementation is :func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim`
+(itself librosa-parity-tested in test_dsp), fed the kernel's deterministic
+hash phase init so both runs start from identical angles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spoofsv_tpu.dsp import jaxdsp
+from spoofsv_tpu.ops.pallas_gl import (
+    _fused_gl_phase,
+    griffin_lim_fused,
+    hash_phase_init,
+)
+
+NFFT, HOP = 1024, 256
+
+
+def _test_mag(B: int, T: int, seed: int = 0) -> jnp.ndarray:
+    """Magnitude spectrogram of a harmonic-ish synthetic signal (so GL has
+    realistic structure, not white noise)."""
+    rng = np.random.default_rng(seed)
+    L = HOP * (T - 1)
+    t = np.arange(L) / 22050.0
+    sigs = []
+    for b in range(B):
+        f0 = 110.0 * (1 + b)
+        y = sum(np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 6)) / k
+                for k in range(1, 6))
+        y += 0.1 * rng.normal(size=L)
+        sigs.append(y * np.hanning(L))
+    y = jnp.asarray(np.stack(sigs), jnp.float32)
+    re, im = jaxdsp.stft_ri(y, NFFT, HOP, NFFT, use_matmul=False)
+    mag = jnp.sqrt(re ** 2 + im ** 2)[:, :T, :]
+    return mag.astype(jnp.float32)
+
+
+def _xla_gl_with_hash_init(mag, n_iter, momentum=0.99):
+    B, T, F = mag.shape
+    seeds = jax.random.randint(jax.random.PRNGKey(0), (B,), 0,
+                               np.iinfo(np.int32).max, dtype=jnp.int32)
+    init = hash_phase_init(seeds, T, F)
+    return jaxdsp.griffin_lim(mag, jax.random.PRNGKey(0), NFFT, HOP, NFFT,
+                              n_iter=n_iter, momentum=momentum,
+                              use_matmul=True,
+                              precision=jax.lax.Precision.DEFAULT,
+                              init_angles=init)
+
+
+def _fused_gl(mag, n_iter, momentum=0.99):
+    B, T, F = mag.shape
+    seeds = jax.random.randint(jax.random.PRNGKey(0), (B,), 0,
+                               np.iinfo(np.int32).max, dtype=jnp.int32)
+    ang_re, ang_im = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds, NFFT,
+                                     HOP, n_iter, momentum, True)
+    m = mag.astype(jnp.float32)
+    return jaxdsp.istft_ri(m * ang_re.astype(jnp.float32),
+                           m * ang_im.astype(jnp.float32),
+                           NFFT, HOP, NFFT, use_matmul=True,
+                           precision=jax.lax.Precision.DEFAULT)
+
+
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+def _spectral_err(audio, mag):
+    re, im = jaxdsp.stft_ri(audio, NFFT, HOP, NFFT, use_matmul=False)
+    got = jnp.sqrt(re ** 2 + im ** 2)[:, : mag.shape[1], :]
+    return float(jnp.linalg.norm(got - mag) / jnp.linalg.norm(mag))
+
+
+class TestFusedGriffinLim:
+    @pytest.mark.parametrize("T", [20, 150])
+    def test_single_iteration_matches_xla(self, T):
+        """One projection step (momentum 0): fused kernel == XLA path within
+        bf16 tolerance, including the wss/reflect edge frames."""
+        mag = _test_mag(2, T, seed=1)
+        a_x = _xla_gl_with_hash_init(mag, n_iter=1, momentum=0.0)
+        a_f = _fused_gl(mag, n_iter=1, momentum=0.0)
+        assert a_x.shape == a_f.shape == (2, HOP * (T - 1))
+        assert _rel_l2(a_f, a_x) < 0.03
+
+    def test_multi_iteration_with_momentum(self):
+        mag = _test_mag(2, 40, seed=2)
+        a_x = _xla_gl_with_hash_init(mag, n_iter=4, momentum=0.99)
+        a_f = _fused_gl(mag, n_iter=4, momentum=0.99)
+        assert _rel_l2(a_f, a_x) < 0.06
+
+    def test_convergence_quality(self):
+        """Both implementations converge to comparable spectral error."""
+        mag = _test_mag(1, 80, seed=3)
+        a_x = _xla_gl_with_hash_init(mag, n_iter=16)
+        a_f = _fused_gl(mag, n_iter=16)
+        e_x = _spectral_err(a_x, mag)
+        e_f = _spectral_err(a_f, mag)
+        assert e_f < e_x + 0.02, (e_f, e_x)
+        assert e_f < 0.35, e_f
+
+    def test_wrapper_fallback_geometry(self):
+        """hop != n_fft/4 falls back to the XLA implementation."""
+        mag = _test_mag(1, 20, seed=4)[..., :257]
+        out = griffin_lim_fused(mag, jax.random.PRNGKey(0), 512, 128, 512,
+                                n_iter=2)
+        assert out.shape == (1, 128 * 19)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_padding_tile_boundary(self):
+        """T an exact multiple of the tile size exercises the no-pad path."""
+        mag = _test_mag(1, 128, seed=5)
+        a_x = _xla_gl_with_hash_init(mag, n_iter=1, momentum=0.0)
+        a_f = _fused_gl(mag, n_iter=1, momentum=0.0)
+        assert _rel_l2(a_f, a_x) < 0.03
