@@ -34,12 +34,17 @@ from spoofsv_tpu.dsp.primitives import (
 # ----------------------------------------------------------------------
 
 def load_wav(path: str, sr: Optional[int] = None, mono: bool = True) -> Tuple[np.ndarray, int]:
-    """Read a wav file → (float32 in [-1,1], sample_rate).
+    """Read a wav (or flac) file → (float32 in [-1,1], sample_rate).
 
     If ``sr`` is given and differs from the file's rate, resample (polyphase).
+    FLAC files are decoded by the native libspoofkit codec (this image has no
+    soundfile/ffmpeg; the reference reads ASVspoof FLACs via soundfile —
+    ``anti_spoofing/spoof_conv1d.py:46``).
     """
     from scipy.io import wavfile
 
+    if path.lower().endswith(".flac"):
+        return load_flac(path, sr=sr, mono=mono)
     rate, data = wavfile.read(path)
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0
@@ -64,6 +69,30 @@ def write_wav(path: str, y: np.ndarray, sr: int) -> None:
     y = np.asarray(y, dtype=np.float32)
     y = np.clip(y, -1.0, 1.0)
     wavfile.write(path, sr, (y * 32767.0).astype(np.int16))
+
+
+def load_flac(path: str, sr: Optional[int] = None, mono: bool = True
+              ) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file via the native codec → (float32 in [-1,1], rate)."""
+    from spoofsv_tpu.spoofkit.flacio import decode_flac
+
+    y, rate = decode_flac(path)
+    if mono and y.ndim > 1:
+        y = y.mean(axis=1)
+    if sr is not None and sr != rate:
+        y = resample(y, rate, sr)
+        rate = sr
+    return y.astype(np.float32), rate
+
+
+def write_flac(path: str, y: np.ndarray, sr: int) -> None:
+    """Write float audio as 16-bit FLAC via the native codec
+    (the format the reference stages for the anti-spoofing CM —
+    ``generate_test_utterances.py:246-255``)."""
+    from spoofsv_tpu.spoofkit.flacio import encode_flac
+
+    y = np.clip(np.asarray(y, dtype=np.float32), -1.0, 1.0)
+    encode_flac(path, (y * 32767.0).astype(np.int32), sr)
 
 
 def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

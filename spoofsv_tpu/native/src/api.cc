@@ -8,6 +8,9 @@
 #include "gmm.cc"
 #include "ivector.cc"
 #include "plda.cc"
+#include "flac.cc"
+
+#include <cstdio>
 
 using namespace spoofkit;
 
@@ -242,6 +245,63 @@ double sk_compute_eer(const double* target, int nt, const double* nontarget,
                       int nn, double* threshold) {
   Vec t(target, target + nt), n(nontarget, nontarget + nn);
   return compute_eer(t, n, threshold);
+}
+
+// ---------------- FLAC codec ----------------
+static std::vector<uint8_t> _read_file(const char* path) {
+  std::vector<uint8_t> buf;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return buf;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize((size_t)std::max(0L, n));
+  if (n > 0 && std::fread(buf.data(), 1, (size_t)n, f) != (size_t)n)
+    buf.clear();
+  std::fclose(f);
+  return buf;
+}
+
+// Probe: fills (n_samples per channel, sample_rate, channels, bits).
+// Returns 0 on success.
+int sk_flac_probe(const char* path, int64_t* n_samples, int* sr, int* ch,
+                  int* bits) {
+  std::vector<uint8_t> buf = _read_file(path);
+  FlacInfo info;
+  if (buf.empty() || !flac_parse_header(buf.data(), buf.size(), &info))
+    return -1;
+  *n_samples = info.total_samples;
+  *sr = info.sample_rate;
+  *ch = info.channels;
+  *bits = info.bits;
+  return 0;
+}
+
+// Decode whole file into interleaved int32. `out` must hold
+// n_samples*channels entries (from sk_flac_probe). Returns samples per
+// channel actually decoded, or -1.
+int64_t sk_flac_decode(const char* path, int32_t* out, int64_t capacity) {
+  std::vector<uint8_t> buf = _read_file(path);
+  if (buf.empty()) return -1;
+  FlacInfo info;
+  std::vector<int32_t> pcm;
+  int64_t n = flac_decode_buffer(buf.data(), buf.size(), &info, &pcm);
+  if (n < 0) return -1;
+  int64_t count = std::min<int64_t>((int64_t)pcm.size(), capacity);
+  std::memcpy(out, pcm.data(), (size_t)count * sizeof(int32_t));
+  return n;
+}
+
+// Encode interleaved int32 PCM to a FLAC file. Returns 0 on success.
+int sk_flac_encode(const char* path, const int32_t* pcm, int64_t n_per_ch,
+                   int channels, int sample_rate, int bits) {
+  std::vector<uint8_t> out;
+  flac_encode(pcm, n_per_ch, channels, sample_rate, bits, &out);
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return wrote == out.size() ? 0 : -1;
 }
 
 }  // extern "C"

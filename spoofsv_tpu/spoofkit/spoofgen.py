@@ -190,8 +190,9 @@ def stage_antispoof_data(cfg: Config, ctime: str, bonafide_per_spk: int = 10,
     """Stage bonafide + spoof audio for the countermeasure system
     (``generate_test_utterances.py:228-260``).
 
-    The reference writes 16 kHz FLAC via soundfile; we stage 16 kHz wavs with
-    the same ``LA_D_NNNNNNN`` ids (the CM feature pipeline reads either).
+    Writes 16 kHz FLAC via the native libspoofkit codec, matching the
+    reference's soundfile staging bit-for-bit in format (16-bit FLAC, same
+    ``LA_D_NNNNNNN`` ids); the CM feature pipeline reads either .flac or .wav.
     """
     test_root = os.path.join(cfg.src_root_dir, "test", ctime)
     spoof_dir = os.path.join(test_root, "spoof_data")
@@ -225,8 +226,8 @@ def stage_antispoof_data(cfg: Config, ctime: str, bonafide_per_spk: int = 10,
             for utt in sorted(os.listdir(os.path.join(spoof_dir, spk))):
                 y, sr = dsp_host.load_wav(os.path.join(spoof_dir, spk, utt),
                                           sr=16000)
-                dsp_host.write_wav(
-                    os.path.join(save_dir, f"LA_D_{str(index+1).zfill(7)}.wav"),
+                dsp_host.write_flac(
+                    os.path.join(save_dir, f"LA_D_{str(index+1).zfill(7)}.flac"),
                     y, 16000)
                 protocol.write(f"{spk} LA_D_{str(index+1).zfill(7)} - - spoof\n")
                 index += 1

@@ -171,3 +171,60 @@ class TestUbmIvectorPlda:
         # fully overlapped → EER 0.5
         eer2, _ = ivec.compute_eer(np.asarray([0.0, 1.0]), np.asarray([0.0, 1.0]))
         assert 0.2 <= eer2 <= 0.8
+
+
+class TestFlacCodec:
+    """Native FLAC codec (flac.cc) — the staging format of the reference's
+    anti-spoofing corpus (generate_test_utterances.py:246-255)."""
+
+    def _tone(self, n=32000, sr=16000, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / sr
+        y = (0.5 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 660 * t)
+             + 0.01 * rng.normal(size=n))
+        return (np.clip(y, -1, 1) * 32767).astype(np.int32)
+
+    def test_mono_roundtrip_bit_exact(self, ivec, tmp_path):
+        from spoofsv_tpu.spoofkit.flacio import decode_flac, encode_flac
+        pcm = self._tone()
+        p = str(tmp_path / "m.flac")
+        encode_flac(p, pcm, 16000)
+        back, sr = decode_flac(p)
+        assert sr == 16000
+        got = (back * 32768.0).round().astype(np.int32)
+        np.testing.assert_array_equal(got, pcm)
+        # rice-coded tonal audio must actually compress
+        import os
+        assert os.path.getsize(p) < len(pcm) * 2
+
+    def test_stereo_and_noise_verbatim_path(self, ivec, tmp_path):
+        from spoofsv_tpu.spoofkit.flacio import decode_flac, encode_flac
+        rng = np.random.default_rng(3)
+        # full-scale white noise forces the verbatim fallback
+        noise = rng.integers(-32768, 32767, (5000, 2)).astype(np.int32)
+        p = str(tmp_path / "s.flac")
+        encode_flac(p, noise, 22050)
+        back, sr = decode_flac(p)
+        assert sr == 22050 and back.shape == (5000, 2)
+        got = (back * 32768.0).round().astype(np.int32)
+        np.testing.assert_array_equal(got, noise)
+
+    def test_host_load_dispatch(self, ivec, tmp_path):
+        from spoofsv_tpu.dsp import host
+        pcm = self._tone(n=16000)
+        p = str(tmp_path / "h.flac")
+        host.write_flac(p, pcm.astype(np.float32) / 32767.0, 16000)
+        y, sr = host.load_wav(p, sr=22050)
+        assert sr == 22050 and len(y) == 22050
+        assert np.isfinite(y).all() and np.abs(y).max() > 0.1
+
+    def test_short_and_odd_lengths(self, ivec, tmp_path):
+        from spoofsv_tpu.spoofkit.flacio import decode_flac, encode_flac
+        for n in (1, 2, 3, 4095, 4096, 4097):
+            pcm = (np.arange(n) % 251 - 125).astype(np.int32) * 100
+            p = str(tmp_path / f"n{n}.flac")
+            encode_flac(p, pcm, 16000)
+            back, sr = decode_flac(p)
+            got = (back * 32768.0).round().astype(np.int32)
+            np.testing.assert_array_equal(got, pcm, err_msg=f"n={n}")
