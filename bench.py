@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def bench_ge2e(batch: int = 120) -> None:
+def bench_ge2e(batch: int = 960) -> None:
     """Secondary metric: GE2E embedder throughput (utts/sec) — the reference's
     other hot loop (``GE2E/train_speech_embedder.py:77``, 120-frame crops)."""
     import jax
