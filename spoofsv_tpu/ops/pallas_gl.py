@@ -215,29 +215,33 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
         # ---- Phase B: reb = stft(sigw); momentum; normalize ----
         for t in range(n_tiles):
             r0 = t * TT
-            ana[:] = fsyn[r0 + 3: r0 + 3 + TT, :].astype(f32)   # d = 0
+            # shift-sum accumulated in bf16 (unit-scale values, 7 terms — the
+            # rfft matmul consumes bf16 anyway; halves VPU add cost)
+            ana[:] = fsyn[r0 + 3: r0 + 3 + TT, :]               # d = 0
             for d in (-3, -2, -1, 1, 2, 3):
                 s = hop * d
                 rows = fsyn[r0 + 3 + d: r0 + 3 + d + TT, :]
                 if d > 0:
-                    ana[:, s:] = ana[:, s:] + rows[:, :N - s].astype(f32)
+                    ana[:, s:] = ana[:, s:] + rows[:, :N - s]
                 else:
-                    ana[:, :N + s] = ana[:, :N + s] + rows[:, -s:].astype(f32)
-            ana[:] = ana[:] * (w_row * f32(1.0 / 1.5))
+                    ana[:, :N + s] = ana[:, :N + s] + rows[:, -s:]
+            ana[:] = ana[:] * (w_row * f32(1.0 / 1.5)).astype(bf16)
             for frame, erow in edge_rows.items():
                 if r0 <= frame < r0 + TT:
                     p = frame - r0
-                    ana[p:p + 1, :] = eana[erow:erow + 1, :]
-            ab = ana[:].astype(bf16)
+                    ana[p:p + 1, :] = eana[erow:erow + 1, :].astype(bf16)
+            ab = ana[:]
             rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
             ri = jnp.dot(ab, dfts[:], preferred_element_type=f32)
             tr = rebre[r0:r0 + TT, :].astype(f32)
             ti = rebim[r0:r0 + TT, :].astype(f32)
             a_re = rr - alpha * tr
             a_im = ri - alpha * ti
-            nrm = jnp.sqrt(a_re * a_re + a_im * a_im) + 1e-16
-            angre_ref[0, r0:r0 + TT, :] = (a_re / nrm).astype(bf16)
-            angim_ref[0, r0:r0 + TT, :] = (a_im / nrm).astype(bf16)
+            # a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32): identical except at
+            # denormal norms (output is bf16 anyway); rsqrt+mul beats sqrt+div
+            inv = jax.lax.rsqrt(a_re * a_re + a_im * a_im + 1e-32)
+            angre_ref[0, r0:r0 + TT, :] = (a_re * inv).astype(bf16)
+            angim_ref[0, r0:r0 + TT, :] = (a_im * inv).astype(bf16)
             rebre[r0:r0 + TT, :] = rr.astype(bf16)
             rebim[r0:r0 + TT, :] = ri.astype(bf16)
         return carry
@@ -294,7 +298,7 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         _scratch((6, hop), jnp.float32),       # invwss left edge
         _scratch((6, hop), jnp.float32),       # invwss right edge
         _scratch((N // 2, N // 2), jnp.float32),  # flip (reversal) matrix
-        _scratch((TT, N), jnp.float32),        # ana tile
+        _scratch((TT, N), jnp.bfloat16),       # ana tile (bf16 shift-sum)
         _scratch((2, 6 * hop), jnp.float32),   # edge OLA signal (left/right)
         _scratch((8, N), jnp.float32),         # 6 corrected edge ana frames
     ]
