@@ -80,14 +80,23 @@ def _hash_mix(tt, kk, seed):
     return h
 
 
+def _tiles_of(Tp: int):
+    """Static (row0, rows) tile list: full TT tiles + one short remainder."""
+    out = [(i * TT, TT) for i in range(Tp // TT)]
+    if Tp % TT:
+        out.append((Tp - Tp % TT, Tp % TT))
+    return out
+
+
 def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
-               fsyn, rebre, rebim, dftc, dfts, invc, invs,
+               fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
                wvec, invw_l, invw_r, flip, ana, sedge, eana, *,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
                momentum: float):
     N = n_fft
     F = N // 2 + 1
-    n_tiles = Tp // TT
+    Fa = F - 1            # MXU-aligned bin count; Nyquist handled rank-1
+    tiles = _tiles_of(Tp)
     alpha = momentum / (1.0 + momentum)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -97,18 +106,26 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
     # ------------------------------------------------------------------
     @pl.when(pl.program_id(0) == 0)
     def _init_consts():
-        ii = jax.lax.broadcasted_iota(jnp.int32, (N, F), 0)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (N, F), 1)
+        # Forward/inverse DFT matrices over the MXU-aligned bins [0, N/2);
+        # the Nyquist bin k=N/2 has cos = (-1)^n and sin ≡ 0, so it is applied
+        # as a rank-1 VPU update instead of padding K from 513 to 640 lanes.
+        ii = jax.lax.broadcasted_iota(jnp.int32, (N, Fa), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (N, Fa), 1)
         th = ((ii * kk) % N).astype(f32) * f32(2.0 * np.pi / N)
         dftc[:] = jnp.cos(th).astype(bf16)
         dfts[:] = (-jnp.sin(th)).astype(bf16)
 
-        k2 = jax.lax.broadcasted_iota(jnp.int32, (F, N), 0)
-        n2 = jax.lax.broadcasted_iota(jnp.int32, (F, N), 1)
+        k2 = jax.lax.broadcasted_iota(jnp.int32, (Fa, N), 0)
+        n2 = jax.lax.broadcasted_iota(jnp.int32, (Fa, N), 1)
         th2 = ((k2 * n2) % N).astype(f32) * f32(2.0 * np.pi / N)
-        wk = jnp.where((k2 == 0) | (k2 == F - 1), 1.0, 2.0).astype(f32) / N
+        wk = jnp.where(k2 == 0, 1.0, 2.0).astype(f32) / N
         invc[:] = (wk * jnp.cos(th2)).astype(bf16)
         invs[:] = (-wk * jnp.sin(th2)).astype(bf16)
+
+        nn = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        sign = jnp.where(nn % 2 == 0, 1.0, -1.0).astype(f32)
+        nyq_c[:] = sign                 # fwd DFT Nyquist column: cos(πn)
+        nyq_ic[:] = sign / N            # inverse row (w_k = 1 at Nyquist)
 
         j = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1).astype(f32)
         w = 0.5 - 0.5 * jnp.cos(j * f32(2.0 * np.pi / N))
@@ -161,16 +178,18 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
 
     def iteration(it, carry):
         # ---- Phase A: fsyn[f] = irfft(mag·ang)[f] ⊙ w  (all frames) ----
-        for t in range(n_tiles):
-            r0 = t * TT
-            m = mag_ref[0, r0:r0 + TT, :].astype(f32)
-            are = angre_ref[0, r0:r0 + TT, :].astype(f32)
-            aim = angim_ref[0, r0:r0 + TT, :].astype(f32)
-            cre = (m * are).astype(bf16)
-            cim = (m * aim).astype(bf16)
-            fr = jnp.dot(cre, invc[:], preferred_element_type=f32)
-            fr = fr + jnp.dot(cim, invs[:], preferred_element_type=f32)
-            fsyn[3 + r0: 3 + r0 + TT, :] = (fr * wvec[:]).astype(bf16)
+        for r0, ts in tiles:
+            m = mag_ref[0, r0:r0 + ts, :].astype(f32)
+            are = angre_ref[0, r0:r0 + ts, :].astype(f32)
+            aim = angim_ref[0, r0:r0 + ts, :].astype(f32)
+            cre = m * are
+            cim = m * aim
+            fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
+                         preferred_element_type=f32)
+            fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
+                              preferred_element_type=f32)
+            fr = fr + cre[:, Fa:F] * nyq_ic[:]        # Nyquist rank-1 (sin≡0)
+            fsyn[3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
 
         # ---- Edge signal reconstruction (exact wss + reflect) ----
         # sedge row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left edge);
@@ -213,37 +232,51 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
         edge_rows = {0: 0, 1: 1, 2: 2, T - 3: 3, T - 2: 4, T - 1: 5}
 
         # ---- Phase B: reb = stft(sigw); momentum; normalize ----
-        for t in range(n_tiles):
-            r0 = t * TT
+        for r0, ts in tiles:
             # shift-sum accumulated in bf16 (unit-scale values, 7 terms — the
             # rfft matmul consumes bf16 anyway; halves VPU add cost)
-            ana[:] = fsyn[r0 + 3: r0 + 3 + TT, :]               # d = 0
+            ana[0:ts, :] = fsyn[r0 + 3: r0 + 3 + ts, :]         # d = 0
             for d in (-3, -2, -1, 1, 2, 3):
                 s = hop * d
-                rows = fsyn[r0 + 3 + d: r0 + 3 + d + TT, :]
+                rows = fsyn[r0 + 3 + d: r0 + 3 + d + ts, :]
                 if d > 0:
-                    ana[:, s:] = ana[:, s:] + rows[:, :N - s]
+                    ana[0:ts, s:] = ana[0:ts, s:] + rows[:, :N - s]
                 else:
-                    ana[:, :N + s] = ana[:, :N + s] + rows[:, -s:]
-            ana[:] = ana[:] * (w_row * f32(1.0 / 1.5)).astype(bf16)
+                    ana[0:ts, :N + s] = ana[0:ts, :N + s] + rows[:, -s:]
+            ana[0:ts, :] = ana[0:ts, :] * (w_row * f32(1.0 / 1.5)).astype(bf16)
             for frame, erow in edge_rows.items():
-                if r0 <= frame < r0 + TT:
+                if r0 <= frame < r0 + ts:
                     p = frame - r0
                     ana[p:p + 1, :] = eana[erow:erow + 1, :].astype(bf16)
-            ab = ana[:]
+            ab = ana[0:ts, :]
             rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
             ri = jnp.dot(ab, dfts[:], preferred_element_type=f32)
-            tr = rebre[r0:r0 + TT, :].astype(f32)
-            ti = rebim[r0:r0 + TT, :].astype(f32)
+            # Nyquist bin: fwd column is (-1)^n, sin part identically 0
+            rr_n = jnp.sum(ab.astype(f32) * nyq_c[:], axis=1, keepdims=True)
+
+            # momentum + normalize; a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32):
+            # identical except at denormal norms (bf16 output anyway), and
+            # rsqrt+mul beats sqrt+div on the VPU.
+            # aligned bins [0, Fa)
+            ca = slice(0, Fa)
+            tr = rebre[r0:r0 + ts, ca].astype(f32)
+            ti = rebim[r0:r0 + ts, ca].astype(f32)
             a_re = rr - alpha * tr
             a_im = ri - alpha * ti
-            # a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32): identical except at
-            # denormal norms (output is bf16 anyway); rsqrt+mul beats sqrt+div
             inv = jax.lax.rsqrt(a_re * a_re + a_im * a_im + 1e-32)
-            angre_ref[0, r0:r0 + TT, :] = (a_re * inv).astype(bf16)
-            angim_ref[0, r0:r0 + TT, :] = (a_im * inv).astype(bf16)
-            rebre[r0:r0 + TT, :] = rr.astype(bf16)
-            rebim[r0:r0 + TT, :] = ri.astype(bf16)
+            angre_ref[0, r0:r0 + ts, ca] = (a_re * inv).astype(bf16)
+            angim_ref[0, r0:r0 + ts, ca] = (a_im * inv).astype(bf16)
+            rebre[r0:r0 + ts, ca] = rr.astype(bf16)
+            rebim[r0:r0 + ts, ca] = ri.astype(bf16)
+            # Nyquist column (imag ≡ 0 throughout)
+            cn = slice(Fa, F)
+            tr_n = rebre[r0:r0 + ts, cn].astype(f32)
+            a_re_n = rr_n - alpha * tr_n
+            inv_n = jax.lax.rsqrt(a_re_n * a_re_n + 1e-32)
+            angre_ref[0, r0:r0 + ts, cn] = (a_re_n * inv_n).astype(bf16)
+            angim_ref[0, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
+            rebre[r0:r0 + ts, cn] = rr_n.astype(bf16)
+            rebim[r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
         return carry
 
     jax.lax.fori_loop(0, n_iter, iteration, 0)
@@ -271,7 +304,9 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                     hop: int, n_iter: int, momentum: float,
                     interpret: bool) -> Tuple[jax.Array, jax.Array]:
     B, T, F = mag_bf16.shape
-    Tp = -(-T // TT) * TT
+    # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
+    # loops full TT tiles plus one short remainder tile
+    Tp = -(-T // 16) * 16
     mag_p = jnp.pad(mag_bf16, ((0, 0), (0, Tp - T), (0, 0)))
     N = n_fft
 
@@ -290,10 +325,12 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         _scratch((Tp + 8, N), jnp.bfloat16),   # fsyn (frame f at row 3+f)
         _scratch((Tp, F), jnp.bfloat16),       # reb_prev re
         _scratch((Tp, F), jnp.bfloat16),       # reb_prev im
-        _scratch((N, F), jnp.bfloat16),        # fwd DFT cos
-        _scratch((N, F), jnp.bfloat16),        # fwd DFT -sin
-        _scratch((F, N), jnp.bfloat16),        # inv DFT cos (incl. w_k/N)
-        _scratch((F, N), jnp.bfloat16),        # inv DFT -sin
+        _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT cos (aligned bins)
+        _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT -sin
+        _scratch((F - 1, N), jnp.bfloat16),    # inv DFT cos (incl. w_k/N)
+        _scratch((F - 1, N), jnp.bfloat16),    # inv DFT -sin
+        _scratch((1, N), jnp.float32),         # fwd Nyquist column (-1)^n
+        _scratch((1, N), jnp.float32),         # inv Nyquist row (-1)^n / N
         _scratch((1, N), jnp.float32),         # hann window
         _scratch((6, hop), jnp.float32),       # invwss left edge
         _scratch((6, hop), jnp.float32),       # invwss right edge
