@@ -60,7 +60,8 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
     trainer = Trainer(cfg, gen, args.step, pattern=args.pattern,
                       adversarial=args.adversarial,
                       disc_model=disc if args.adversarial else None,
-                      ctime=args.current_time, use_masks=args.masked_loss)
+                      ctime=args.current_time, use_masks=args.masked_loss,
+                      metrics_every=args.metrics_every)
 
     def train_loader():
         return BucketedLoader(train_src, cfg.batch_size, with_lin=with_lin,
@@ -168,6 +169,10 @@ def main(argv=None) -> None:
     ps.add_argument("--masked_loss", action="store_true",
                     help="exclude padded frames from losses (reference averages over pads)")
     ps.add_argument("--max_iterations", type=int, default=None)
+    ps.add_argument("--metrics_every", type=int, default=1,
+                    help="fetch/log train metrics every N iterations "
+                         "(device->host fetches sync the stream; >1 lets "
+                         "steps pipeline on remote-TPU transports)")
     args = ps.parse_args(argv)
 
     from spoofsv_tpu.config import load_config

@@ -217,7 +217,8 @@ class Trainer:
                  pattern: str = "conditional", adversarial: bool = False,
                  gan_type: str = "wgan-gp", disc_model=None,
                  ctime: str = "dev", use_masks: bool = False,
-                 validate_with_decode: bool = True):
+                 validate_with_decode: bool = True, metrics_every: int = 1):
+        self.metrics_every = max(1, metrics_every)
         self.cfg = cfg
         self.gen_model = gen_model
         self.train_kind = train_kind
@@ -267,20 +268,34 @@ class Trainer:
 
     # -- one iteration ------------------------------------------------------
     def train_iteration(self, batch, rng) -> Dict[str, float]:
+        """One optimizer step. Metric fetch cadence is controlled by
+        ``metrics_every`` (default 1 = reference behavior of printing every
+        iteration): device→host scalar fetches synchronize the stream, which
+        on remote-TPU transports costs ~10-40 ms per step — far more than the
+        13-30 ms step itself. With ``metrics_every=k`` the device values stay
+        un-fetched on off iterations and steps pipeline back-to-back.
+        """
         if self.adversarial:
             is_g = self.iteration % (self.cfg.ratio + 1) == 0
             if is_g:
                 self.state, m = self.g_step(self.state, batch, rng)
-                self.loss_logs["t_s"].append(float(m["loss"]))
-                self.loss_logs["t_s_o"].append(float(m["loss_disc"]))
             else:
                 self.state, m = self.d_step(self.state, batch, rng)
-                self.loss_logs["t_d"].append(float(m["loss_d"]))
-                self.loss_logs["wd"].append(float(m["wd"]))
         else:
+            is_g = True
             self.state, m = self.step_fn(self.state, batch, rng)
         self.iteration += 1
-        return {k: float(v) for k, v in m.items()}
+        if self.iteration % self.metrics_every:
+            return {}
+        host = {k: float(v) for k, v in m.items()}
+        if self.adversarial:
+            if is_g:
+                self.loss_logs["t_s"].append(host["loss"])
+                self.loss_logs["t_s_o"].append(host["loss_disc"])
+            else:
+                self.loss_logs["t_d"].append(host["loss_d"])
+                self.loss_logs["wd"].append(host["wd"])
+        return host
 
     def _gen_params(self):
         return (self.state.gen_params if self.adversarial else self.state.params)
@@ -323,9 +338,11 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 t0 = time.time()
                 m = self.train_iteration(batch, sub)
-                m["sec_per_iter"] = time.time() - t0
-                self.metrics.log(dict(m, split="train", iteration=self.iteration,
-                                      epoch=self.epoch))
+                if m:  # fetched on this iteration (see metrics_every)
+                    m["sec_per_iter"] = time.time() - t0
+                    self.metrics.log(dict(m, split="train",
+                                          iteration=self.iteration,
+                                          epoch=self.epoch))
                 last_batch = batch
                 if self.validator is not None and val_loader_factory is not None:
                     vb = [
