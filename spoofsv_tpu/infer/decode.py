@@ -21,13 +21,16 @@ from spoofsv_tpu.models.text2mel import MelSyn
 Array = jax.Array
 
 
-def make_decoder(model: MelSyn, n_frames: int, monotonic: bool = True):
+def make_decoder(model: MelSyn, n_frames: int, monotonic: bool = True,
+                 unroll: int = 8):
     """Build a jitted batch decoder.
 
     Returns ``decode(params, text_ids (B,N), spk_emb (B,E)) -> (Y (B,T,F),
     A (B,N,T), pma (B,))`` with ``T = n_frames`` (the reference rolls out
     exactly MAX_FRAME_NUM frames for the spoof set —
-    ``generate_test_utterances.py:111-116``).
+    ``generate_test_utterances.py:111-116``). ``unroll`` amortizes scan
+    bookkeeping and lets XLA fuse across adjacent decode steps (the per-frame
+    ops are small at these model dims).
     """
 
     @jax.jit
@@ -43,7 +46,8 @@ def make_decoder(model: MelSyn, n_frames: int, monotonic: bool = True):
                 method=MelSyn.decode_step)
             return state, (y_t, a_t)
 
-        state, (ys, attn) = jax.lax.scan(step, state0, None, length=n_frames)
+        state, (ys, attn) = jax.lax.scan(step, state0, None, length=n_frames,
+                                         unroll=unroll)
         Y = jnp.transpose(ys, (1, 0, 2))        # (B, T, F)
         A = jnp.transpose(attn, (1, 2, 0))      # (B, N, T)
         return Y, A, state.pma
