@@ -92,7 +92,7 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
                fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
                wvec, invw_l, invw_r, flip, ana, sedge, eana, *,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
-               momentum: float):
+               momentum: float, R: int):
     N = n_fft
     F = N // 2 + 1
     Fa = F - 1            # MXU-aligned bin count; Nyquist handled rank-1
@@ -100,6 +100,9 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
     alpha = momentum / (1.0 + momentum)
     f32 = jnp.float32
     bf16 = jnp.bfloat16
+    # R utterance rows per grid step: rows are independent, so interleaving
+    # their tile bodies (rows inner, tiles outer) gives the scheduler parallel
+    # MXU/VPU chains to overlap.
 
     # ------------------------------------------------------------------
     # One-time constants (scratch persists across grid steps)
@@ -157,14 +160,15 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
 
     # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32 wrap-
     # around multiplies + logical shifts give identical bits)
-    seed = seed_ref[pl.program_id(0)]
     tt_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 0)
     kk_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 1)
-    h = _hash_mix(tt_, kk_, seed)
-    phase = (h & jnp.int32(0xFFFFFF)).astype(f32) * f32(
-        2.0 * np.pi / (1 << 24))
-    angre_ref[0] = jnp.cos(phase).astype(bf16)
-    angim_ref[0] = jnp.sin(phase).astype(bf16)
+    for ri in range(R):
+        seed = seed_ref[pl.program_id(0) * R + ri]
+        h = _hash_mix(tt_, kk_, seed)
+        phase = (h & jnp.int32(0xFFFFFF)).astype(f32) * f32(
+            2.0 * np.pi / (1 << 24))
+        angre_ref[ri] = jnp.cos(phase).astype(bf16)
+        angim_ref[ri] = jnp.sin(phase).astype(bf16)
 
     def _rev(x, width):
         """Exact lane reversal of a (1, width) f32 vector via the 0/1 flip
@@ -179,104 +183,109 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
     def iteration(it, carry):
         # ---- Phase A: fsyn[f] = irfft(mag·ang)[f] ⊙ w  (all frames) ----
         for r0, ts in tiles:
-            m = mag_ref[0, r0:r0 + ts, :].astype(f32)
-            are = angre_ref[0, r0:r0 + ts, :].astype(f32)
-            aim = angim_ref[0, r0:r0 + ts, :].astype(f32)
-            cre = m * are
-            cim = m * aim
-            fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
-                         preferred_element_type=f32)
-            fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
-                              preferred_element_type=f32)
-            fr = fr + cre[:, Fa:F] * nyq_ic[:]        # Nyquist rank-1 (sin≡0)
-            fsyn[3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
+            for ri in range(R):
+                m = mag_ref[ri, r0:r0 + ts, :].astype(f32)
+                are = angre_ref[ri, r0:r0 + ts, :].astype(f32)
+                aim = angim_ref[ri, r0:r0 + ts, :].astype(f32)
+                cre = m * are
+                cim = m * aim
+                fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
+                             preferred_element_type=f32)
+                fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
+                                  preferred_element_type=f32)
+                fr = fr + cre[:, Fa:F] * nyq_ic[:]    # Nyquist rank-1 (sin≡0)
+                fsyn[ri, 3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
 
         # ---- Edge signal reconstruction (exact wss + reflect) ----
-        # sedge row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left edge);
-        # sedge row 1: samples [L-6·hop, L), L = hop·(T+3) (right edge).
-        # Assembled via scratch slice-writes — Mosaic cannot concatenate
-        # vectors whose sublane offsets differ.
-        for m in range(6):
-            acc = jnp.zeros((1, hop), f32)
-            for r in range(0, min(3, m) + 1):
-                acc = acc + fsyn[3 + m - r: 4 + m - r,
-                                 hop * r: hop * (r + 1)].astype(f32)
-            sedge[0:1, hop * m: hop * (m + 1)] = acc * invw_l[m:m + 1, :]
-        for idx in range(6):
-            M = T - 3 + idx
-            acc = jnp.zeros((1, hop), f32)
-            for r in range(max(0, idx - 2), 4):
-                acc = acc + fsyn[3 + M - r: 4 + M - r,
-                                 hop * r: hop * (r + 1)].astype(f32)
-            sedge[1:2, hop * idx: hop * (idx + 1)] = acc * invw_r[idx:idx + 1, :]
-
-        sl = sedge[0:1, :]
-        sr = sedge[1:2, :]
+        # sedge[ri] row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left);
+        # row 1: samples [L-6·hop, L), L = hop·(T+3) (right). Assembled via
+        # scratch slice-writes — Mosaic cannot concatenate vectors whose
+        # sublane offsets differ.
         w_row = wvec[:]
         H = N // 2
-        # 6 corrected analysis frames, built piecewise into eana rows
-        # 0..2 = frames 0,1,2; 3..5 = frames T-3,T-2,T-1.
-        # librosa reflect-pads by n_fft/2: sig_a[u < N/2] = sigw[N - u]
-        eana[0:1, 0:H] = _rev(sl[:, H + 1: N + 1], H) * w_row[:, 0:H]
-        eana[0:1, H:N] = sl[:, H:N] * w_row[:, H:N]
-        eana[1:2, 0:hop] = _rev(sl[:, H + 1: H + 1 + hop], hop) * w_row[:, 0:hop]
-        eana[1:2, hop:N] = sl[:, H: H + 3 * hop] * w_row[:, hop:N]
-        eana[2:3, :] = sl[:, H: H + N] * w_row
-        # right edge; reflect: sig_a[u ≥ L-N/2] = sigw[2L - N - 2 - u]
-        eana[3:4, :] = sr[:, 0:N] * w_row
-        eana[4:5, 0:3 * hop] = sr[:, hop:N] * w_row[:, 0:3 * hop]
-        eana[4:5, 3 * hop:N] = (_rev(sr[:, 3 * hop - 1: N - 1], hop)
-                                * w_row[:, 3 * hop:N])
-        eana[5:6, 0:H] = sr[:, 2 * hop:N] * w_row[:, 0:H]
-        eana[5:6, H:N] = _rev(sr[:, H - 1: N - 1], H) * w_row[:, H:N]
+        for ri in range(R):
+            for m in range(6):
+                acc = jnp.zeros((1, hop), f32)
+                for r in range(0, min(3, m) + 1):
+                    acc = acc + fsyn[ri, 3 + m - r: 4 + m - r,
+                                     hop * r: hop * (r + 1)].astype(f32)
+                sedge[ri, 0:1, hop * m: hop * (m + 1)] = acc * invw_l[m:m + 1, :]
+            for idx in range(6):
+                M = T - 3 + idx
+                acc = jnp.zeros((1, hop), f32)
+                for r in range(max(0, idx - 2), 4):
+                    acc = acc + fsyn[ri, 3 + M - r: 4 + M - r,
+                                     hop * r: hop * (r + 1)].astype(f32)
+                sedge[ri, 1:2, hop * idx: hop * (idx + 1)] = (
+                    acc * invw_r[idx:idx + 1, :])
+
+            sl = sedge[ri, 0:1, :]
+            sr = sedge[ri, 1:2, :]
+            # 6 corrected analysis frames per row, built piecewise into
+            # eana[ri] rows 0..2 = frames 0,1,2; 3..5 = frames T-3,T-2,T-1.
+            # librosa reflect-pads by n_fft/2: sig_a[u < N/2] = sigw[N - u]
+            eana[ri, 0:1, 0:H] = _rev(sl[:, H + 1: N + 1], H) * w_row[:, 0:H]
+            eana[ri, 0:1, H:N] = sl[:, H:N] * w_row[:, H:N]
+            eana[ri, 1:2, 0:hop] = (_rev(sl[:, H + 1: H + 1 + hop], hop)
+                                    * w_row[:, 0:hop])
+            eana[ri, 1:2, hop:N] = sl[:, H: H + 3 * hop] * w_row[:, hop:N]
+            eana[ri, 2:3, :] = sl[:, H: H + N] * w_row
+            # right edge; reflect: sig_a[u ≥ L-N/2] = sigw[2L - N - 2 - u]
+            eana[ri, 3:4, :] = sr[:, 0:N] * w_row
+            eana[ri, 4:5, 0:3 * hop] = sr[:, hop:N] * w_row[:, 0:3 * hop]
+            eana[ri, 4:5, 3 * hop:N] = (_rev(sr[:, 3 * hop - 1: N - 1], hop)
+                                        * w_row[:, 3 * hop:N])
+            eana[ri, 5:6, 0:H] = sr[:, 2 * hop:N] * w_row[:, 0:H]
+            eana[ri, 5:6, H:N] = _rev(sr[:, H - 1: N - 1], H) * w_row[:, H:N]
         edge_rows = {0: 0, 1: 1, 2: 2, T - 3: 3, T - 2: 4, T - 1: 5}
 
         # ---- Phase B: reb = stft(sigw); momentum; normalize ----
         for r0, ts in tiles:
-            # shift-sum accumulated in bf16 (unit-scale values, 7 terms — the
-            # rfft matmul consumes bf16 anyway; halves VPU add cost)
-            ana[0:ts, :] = fsyn[r0 + 3: r0 + 3 + ts, :]         # d = 0
-            for d in (-3, -2, -1, 1, 2, 3):
-                s = hop * d
-                rows = fsyn[r0 + 3 + d: r0 + 3 + d + ts, :]
-                if d > 0:
-                    ana[0:ts, s:] = ana[0:ts, s:] + rows[:, :N - s]
-                else:
-                    ana[0:ts, :N + s] = ana[0:ts, :N + s] + rows[:, -s:]
-            ana[0:ts, :] = ana[0:ts, :] * (w_row * f32(1.0 / 1.5)).astype(bf16)
-            for frame, erow in edge_rows.items():
-                if r0 <= frame < r0 + ts:
-                    p = frame - r0
-                    ana[p:p + 1, :] = eana[erow:erow + 1, :].astype(bf16)
-            ab = ana[0:ts, :]
-            rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
-            ri = jnp.dot(ab, dfts[:], preferred_element_type=f32)
-            # Nyquist bin: fwd column is (-1)^n, sin part identically 0
-            rr_n = jnp.sum(ab.astype(f32) * nyq_c[:], axis=1, keepdims=True)
+            for ri in range(R):
+                # shift-sum accumulated in bf16 (unit-scale values, 7 terms —
+                # the rfft matmul consumes bf16 anyway)
+                ana[ri, 0:ts, :] = fsyn[ri, r0 + 3: r0 + 3 + ts, :]   # d = 0
+                for d in (-3, -2, -1, 1, 2, 3):
+                    s = hop * d
+                    rows = fsyn[ri, r0 + 3 + d: r0 + 3 + d + ts, :]
+                    if d > 0:
+                        ana[ri, 0:ts, s:] = ana[ri, 0:ts, s:] + rows[:, :N - s]
+                    else:
+                        ana[ri, 0:ts, :N + s] = (ana[ri, 0:ts, :N + s]
+                                                 + rows[:, -s:])
+                ana[ri, 0:ts, :] = (ana[ri, 0:ts, :]
+                                    * (w_row * f32(1.0 / 1.5)).astype(bf16))
+                for frame, erow in edge_rows.items():
+                    if r0 <= frame < r0 + ts:
+                        p = frame - r0
+                        ana[ri, p:p + 1, :] = eana[ri, erow:erow + 1, :].astype(bf16)
+                ab = ana[ri, 0:ts, :]
+                rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
+                ri_ = jnp.dot(ab, dfts[:], preferred_element_type=f32)
+                # Nyquist bin: fwd column is (-1)^n, sin part identically 0
+                rr_n = jnp.sum(ab.astype(f32) * nyq_c[:], axis=1, keepdims=True)
 
-            # momentum + normalize; a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32):
-            # identical except at denormal norms (bf16 output anyway), and
-            # rsqrt+mul beats sqrt+div on the VPU.
-            # aligned bins [0, Fa)
-            ca = slice(0, Fa)
-            tr = rebre[r0:r0 + ts, ca].astype(f32)
-            ti = rebim[r0:r0 + ts, ca].astype(f32)
-            a_re = rr - alpha * tr
-            a_im = ri - alpha * ti
-            inv = jax.lax.rsqrt(a_re * a_re + a_im * a_im + 1e-32)
-            angre_ref[0, r0:r0 + ts, ca] = (a_re * inv).astype(bf16)
-            angim_ref[0, r0:r0 + ts, ca] = (a_im * inv).astype(bf16)
-            rebre[r0:r0 + ts, ca] = rr.astype(bf16)
-            rebim[r0:r0 + ts, ca] = ri.astype(bf16)
-            # Nyquist column (imag ≡ 0 throughout)
-            cn = slice(Fa, F)
-            tr_n = rebre[r0:r0 + ts, cn].astype(f32)
-            a_re_n = rr_n - alpha * tr_n
-            inv_n = jax.lax.rsqrt(a_re_n * a_re_n + 1e-32)
-            angre_ref[0, r0:r0 + ts, cn] = (a_re_n * inv_n).astype(bf16)
-            angim_ref[0, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
-            rebre[r0:r0 + ts, cn] = rr_n.astype(bf16)
-            rebim[r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
+                # momentum + normalize; a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32):
+                # identical except at denormal norms (bf16 output anyway)
+                ca = slice(0, Fa)
+                tr = rebre[ri, r0:r0 + ts, ca].astype(f32)
+                ti = rebim[ri, r0:r0 + ts, ca].astype(f32)
+                a_re = rr - alpha * tr
+                a_im = ri_ - alpha * ti
+                inv = jax.lax.rsqrt(a_re * a_re + a_im * a_im + 1e-32)
+                angre_ref[ri, r0:r0 + ts, ca] = (a_re * inv).astype(bf16)
+                angim_ref[ri, r0:r0 + ts, ca] = (a_im * inv).astype(bf16)
+                rebre[ri, r0:r0 + ts, ca] = rr.astype(bf16)
+                rebim[ri, r0:r0 + ts, ca] = ri_.astype(bf16)
+                # Nyquist column (imag ≡ 0 throughout)
+                cn = slice(Fa, F)
+                tr_n = rebre[ri, r0:r0 + ts, cn].astype(f32)
+                a_re_n = rr_n - alpha * tr_n
+                inv_n = jax.lax.rsqrt(a_re_n * a_re_n + 1e-32)
+                angre_ref[ri, r0:r0 + ts, cn] = (a_re_n * inv_n).astype(bf16)
+                angim_ref[ri, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
+                rebre[ri, r0:r0 + ts, cn] = rr_n.astype(bf16)
+                rebim[ri, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
         return carry
 
     jax.lax.fori_loop(0, n_iter, iteration, 0)
@@ -307,24 +316,30 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
     # loops full TT tiles plus one short remainder tile
     Tp = -(-T // 16) * 16
-    mag_p = jnp.pad(mag_bf16, ((0, 0), (0, Tp - T), (0, 0)))
+    # rows per grid step: R=2 was measured *slower* (378.7 vs 371.2 ms at
+    # B=128/T=1300 on v5e) — Mosaic already overlaps MXU/VPU within a row,
+    # and the doubled VMEM state hurts its pipelining. Keep single-row.
+    R = 1
+    Bp = -(-B // R) * R
+    mag_p = jnp.pad(mag_bf16, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    seeds = jnp.pad(seeds, ((0, Bp - B),))
     N = n_fft
 
     kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
-                               n_iter=n_iter, momentum=momentum)
+                               n_iter=n_iter, momentum=momentum, R=R)
     kw = {}
     if _VMEM is not None and not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=128 * 1024 * 1024)
 
     def vspec(block, idx):
         return pl.BlockSpec(block, idx,
                             **({"memory_space": _VMEM} if _VMEM else {}))
 
     scratches = [
-        _scratch((Tp + 8, N), jnp.bfloat16),   # fsyn (frame f at row 3+f)
-        _scratch((Tp, F), jnp.bfloat16),       # reb_prev re
-        _scratch((Tp, F), jnp.bfloat16),       # reb_prev im
+        _scratch((R, Tp + 8, N), jnp.bfloat16),  # fsyn (frame f at row 3+f)
+        _scratch((R, Tp, F), jnp.bfloat16),    # reb_prev re
+        _scratch((R, Tp, F), jnp.bfloat16),    # reb_prev im
         _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT cos (aligned bins)
         _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT -sin
         _scratch((F - 1, N), jnp.bfloat16),    # inv DFT cos (incl. w_k/N)
@@ -335,28 +350,28 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         _scratch((6, hop), jnp.float32),       # invwss left edge
         _scratch((6, hop), jnp.float32),       # invwss right edge
         _scratch((N // 2, N // 2), jnp.float32),  # flip (reversal) matrix
-        _scratch((TT, N), jnp.bfloat16),       # ana tile (bf16 shift-sum)
-        _scratch((2, 6 * hop), jnp.float32),   # edge OLA signal (left/right)
-        _scratch((8, N), jnp.float32),         # 6 corrected edge ana frames
+        _scratch((R, TT, N), jnp.bfloat16),    # ana tiles (bf16 shift-sum)
+        _scratch((R, 2, 6 * hop), jnp.float32),  # edge OLA signal (l/r)
+        _scratch((R, 8, N), jnp.float32),      # corrected edge ana frames
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[vspec((1, Tp, F), lambda b, sref: (b, 0, 0))],
-        out_specs=(vspec((1, Tp, F), lambda b, sref: (b, 0, 0)),
-                   vspec((1, Tp, F), lambda b, sref: (b, 0, 0))),
+        grid=(Bp // R,),
+        in_specs=[vspec((R, Tp, F), lambda b, sref: (b, 0, 0))],
+        out_specs=(vspec((R, Tp, F), lambda b, sref: (b, 0, 0)),
+                   vspec((R, Tp, F), lambda b, sref: (b, 0, 0))),
         scratch_shapes=scratches,
     )
     ang_re, ang_im = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16)),
+        out_shape=(jax.ShapeDtypeStruct((Bp, Tp, F), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((Bp, Tp, F), jnp.bfloat16)),
         interpret=interpret,
         **kw,
     )(seeds, mag_p)
-    return ang_re[:, :T, :], ang_im[:, :T, :]
+    return ang_re[:B, :T, :], ang_im[:B, :T, :]
 
 
 def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,

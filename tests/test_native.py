@@ -228,3 +228,119 @@ class TestFlacCodec:
             back, sr = decode_flac(p)
             got = (back * 32768.0).round().astype(np.int32)
             np.testing.assert_array_equal(got, pcm, err_msg=f"n={n}")
+
+
+class _BitWriter:
+    """MSB-first bit writer for hand-crafting FLAC frames in tests."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.cur = 0
+        self.n = 0
+
+    def bits(self, v, width):
+        for i in range(width - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.cur)
+                self.cur = 0
+                self.n = 0
+
+    def align(self):
+        if self.n:
+            self.bits(0, 8 - self.n)
+
+
+class TestFlacLpcDecode:
+    """Hand-crafted LPC subframe — the path real ASVspoof FLACs use (our
+    encoder only emits FIXED/VERBATIM, so round-trips don't cover it)."""
+
+    def test_lpc_order2_frame(self, ivec, tmp_path):
+        from spoofsv_tpu.spoofkit.flacio import decode_flac
+        bs = 16
+        order, prec, shift = 2, 12, 10
+        coefs = [900, -300]                    # Q10 fixed point
+        warmup = [1000, 1010]
+        residuals = [3, -2, 0, 5, -7, 1, 2, -1, 0, 4, -3, 2, 1, 0]
+
+        # expected reconstruction
+        x = list(warmup)
+        for r in residuals:
+            pred = (coefs[0] * x[-1] + coefs[1] * x[-2]) >> shift
+            x.append(r + pred)
+
+        w = _BitWriter()
+        w.bytes += b"fLaC"
+        # STREAMINFO (last block)
+        w.bits(1, 1); w.bits(0, 7); w.bits(34, 24)
+        w.bits(bs, 16); w.bits(bs, 16); w.bits(0, 24); w.bits(0, 24)
+        w.bits(16000, 20); w.bits(0, 3); w.bits(15, 5)  # mono, 16-bit
+        w.bits(bs, 36)
+        for _ in range(16):
+            w.bits(0, 8)
+        # frame header: sync, fixed-bs, bs code 6 (8-bit), sr code 5 (16k)
+        w.bits(0x3FFE, 14); w.bits(0, 1); w.bits(0, 1)
+        w.bits(6, 4); w.bits(5, 4)
+        w.bits(0, 4); w.bits(4, 3); w.bits(0, 1)        # mono, 16-bit
+        w.bits(0, 8)                                    # frame number 0 (utf8)
+        w.bits(bs - 1, 8)                               # 8-bit blocksize-1
+        w.bits(0, 8)                                    # header CRC (ignored)
+        # subframe: pad 0, type LPC order 2 (0b100001), no wasted bits
+        w.bits(0, 1); w.bits(0x20 | (order - 1), 6); w.bits(0, 1)
+        for v in warmup:
+            w.bits(v & 0xFFFF, 16)
+        w.bits(prec - 1, 4); w.bits(shift, 5)
+        for c in coefs:
+            w.bits(c & ((1 << prec) - 1), prec)
+        # residual: method 0 (4-bit rice), partition order 0, param 4
+        w.bits(0, 2); w.bits(0, 4); w.bits(4, 4)
+        for r in residuals:
+            zz = (-2 * r - 1) if r < 0 else 2 * r
+            q, lo = zz >> 4, zz & 15
+            for _ in range(q):
+                w.bits(0, 1)
+            w.bits(1, 1)
+            w.bits(lo, 4)
+        w.align()
+        w.bits(0, 16)                                   # frame CRC (ignored)
+
+        p = str(tmp_path / "lpc.flac")
+        with open(p, "wb") as f:
+            f.write(bytes(w.bytes))
+        y, sr = decode_flac(p)
+        assert sr == 16000
+        got = np.round(np.asarray(y) * 32768.0).astype(int)
+        np.testing.assert_array_equal(got, np.asarray(x))
+
+    def test_left_side_stereo_frame(self, ivec, tmp_path):
+        """left/side channel assignment with constant subframes."""
+        from spoofsv_tpu.spoofkit.flacio import decode_flac
+        bs, left, right = 8, 1200, 900
+        side = left - right
+        w = _BitWriter()
+        w.bytes += b"fLaC"
+        w.bits(1, 1); w.bits(0, 7); w.bits(34, 24)
+        w.bits(bs, 16); w.bits(bs, 16); w.bits(0, 24); w.bits(0, 24)
+        w.bits(16000, 20); w.bits(1, 3); w.bits(15, 5)  # stereo, 16-bit
+        w.bits(bs, 36)
+        for _ in range(16):
+            w.bits(0, 8)
+        w.bits(0x3FFE, 14); w.bits(0, 1); w.bits(0, 1)
+        w.bits(6, 4); w.bits(5, 4)
+        w.bits(8, 4); w.bits(4, 3); w.bits(0, 1)        # left/side
+        w.bits(0, 8); w.bits(bs - 1, 8); w.bits(0, 8)
+        # ch0 = left: CONSTANT 16-bit
+        w.bits(0, 1); w.bits(0, 6); w.bits(0, 1); w.bits(left & 0xFFFF, 16)
+        # ch1 = side: CONSTANT 17-bit (side channel gets +1 bit)
+        w.bits(0, 1); w.bits(0, 6); w.bits(0, 1); w.bits(side & 0x1FFFF, 17)
+        w.align()
+        w.bits(0, 16)
+        p = str(tmp_path / "ls.flac")
+        with open(p, "wb") as f:
+            f.write(bytes(w.bytes))
+        y, sr = decode_flac(p)
+        got = np.round(np.asarray(y) * 32768.0).astype(int)
+        assert got.shape == (bs, 2)
+        np.testing.assert_array_equal(got[:, 0], left)
+        np.testing.assert_array_equal(got[:, 1], right)
