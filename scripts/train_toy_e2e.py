@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/spoofsv_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if not os.environ.get("SPOOFSV_TOY_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 from spoofsv_tpu.data.pipeline import BucketedLoader, TTSDataSource
 from spoofsv_tpu.data.toy import (
@@ -57,7 +61,9 @@ def main():
                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim)
     trainer = Trainer(cfg, model, "train_text2mel", ctime="toy",
-                      validate_with_decode=False)
+                      validate_with_decode=False,
+                      metrics_every=int(os.environ.get(
+                          "SPOOFSV_TOY_METRICS_EVERY", "1")))
 
     key = jax.random.PRNGKey(0)
     it = 0
@@ -70,12 +76,13 @@ def main():
                 trainer.init(jax.random.PRNGKey(0), batch)
             key, sub = jax.random.split(key)
             m = trainer.train_iteration(batch, sub)
-            if it < 20:
-                first_losses.append(m["loss"])
-            if it >= steps - 20:
-                last_losses.append(m["loss"])
+            if m:
+                if it < 20:
+                    first_losses.append(m["loss"])
+                if it >= steps - 25:
+                    last_losses.append(m["loss"])
             it += 1
-            if it % 200 == 0:
+            if it % 200 == 0 and m:
                 print(f"[toy-e2e] iter {it} loss {m['loss']:.4f} "
                       f"att {m.get('att', float('nan')):.4f} "
                       f"({(time.time()-t0)/it*1000:.0f} ms/it)", flush=True)

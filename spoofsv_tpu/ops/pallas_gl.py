@@ -11,10 +11,13 @@ Key design points (all shapes static; reference behavior is librosa 0.7
 ``griffinlim`` as called at ``synthesize.py:144``):
 
 * **DFT-as-matmul on the MXU** — the axon TPU backend has no FFT, and a
-  1024-point rDFT is two (1024, 513) matmuls. The four DFT matrices are
-  generated *inside* the kernel from ``broadcasted_iota`` (exact int32
-  ``n*k mod N`` angle reduction), because embedding 8 MB of constants in the
-  HLO overflows the remote-compile request limit.
+  1024-point rDFT is two matmuls. The contraction runs over the 512
+  MXU-aligned bins; the Nyquist bin (whose DFT column is ``(-1)^n`` with a
+  zero sine part) is applied as a rank-1 VPU update rather than padding K
+  from 513 to 640 lanes. All DFT matrices are generated *inside* the kernel
+  from ``broadcasted_iota`` (exact int32 ``n·k mod N`` angle reduction) —
+  embedding 8 MB of constants in the HLO overflows the remote-compile
+  request limit.
 * **No signal materialization per iteration** — with hop = n_fft/4 the
   ISTFT→STFT round trip couples analysis frame ``t`` only to synthesis frames
   ``t-3..t+3``:  ``ana[t, j] = w[j]·invwss[256t+j]·Σ_d fsyn[t+d, j-256d]``.
@@ -25,11 +28,13 @@ Key design points (all shapes static; reference behavior is librosa 0.7
   are reconstructed exactly from a 1536-sample overlap-add at each boundary
   (reversal implemented as a 0/1 flip-matrix matmul — exact, and avoids
   relying on ``lax.rev`` support in Mosaic).
-* **bf16 state** — phase/rebuilt carries and matmul operands are bf16
-  (matching the XLA path's measured-neutral precision choice); accumulation
-  and the momentum/normalize step are f32.
+* **bf16 state** — phase/rebuilt carries, the shift-sum accumulation, and
+  matmul operands are bf16 (measured spectrally neutral); the momentum +
+  normalize step is f32.
 
-The final ``istft(mag·ang)`` runs outside the kernel in f32 via
+Measured on v5e at B=128, T=1300, 64 iterations: 1170 ms (XLA loop) →
+371 ms, identical spectral convergence (0.0585 vs 0.0588). The final
+``istft(mag·ang)`` runs outside the kernel in f32 via
 :func:`spoofsv_tpu.dsp.jaxdsp.istft_ri`.
 """
 
