@@ -1,0 +1,33 @@
+"""Shared setup for the bench scripts: compile cache + fetch-forced timing."""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup_cache() -> None:
+    """Persistent XLA compile cache (remote-TPU compiles take minutes)."""
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/spoofsv_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timeit(name: str, fn, *args, reps: int = 3):
+    """Time fn with a real data fetch per rep (block_until_ready through the
+    remote tunnel can return early; only fetches are trustworthy barriers)."""
+    out = fn(*args)
+    first = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.sum(jnp.abs(first[..., ::173].astype(jnp.float32))))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(reps):
+        out = fn(*args)
+        first = jax.tree_util.tree_leaves(out)[0]
+        acc += float(jnp.sum(jnp.abs(first[..., ::173].astype(jnp.float32))))
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(acc)
+    print(f"{name:34s} {dt * 1e3:9.2f} ms", flush=True)
+    return out, dt

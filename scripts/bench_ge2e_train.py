@@ -13,8 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/spoofsv_jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _benchlib import setup_cache as _setup_cache
+_setup_cache()
 
 from spoofsv_tpu.config import GE2EConfig  # noqa: E402
 from spoofsv_tpu.models import GE2ELoss, SpeechEmbedder  # noqa: E402

@@ -68,7 +68,7 @@ def main():
     key = jax.random.PRNGKey(0)
     it = 0
     t0 = time.time()
-    first_losses, last_losses = [], []
+    fetched = []              # (iteration, loss) whenever metrics were fetched
     while it < steps:
         for batch in loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -77,10 +77,7 @@ def main():
             key, sub = jax.random.split(key)
             m = trainer.train_iteration(batch, sub)
             if m:
-                if it < 20:
-                    first_losses.append(m["loss"])
-                if it >= steps - 25:
-                    last_losses.append(m["loss"])
+                fetched.append((it, m["loss"]))
             it += 1
             if it % 200 == 0 and m:
                 print(f"[toy-e2e] iter {it} loss {m['loss']:.4f} "
@@ -88,6 +85,8 @@ def main():
                       f"({(time.time()-t0)/it*1000:.0f} ms/it)", flush=True)
             if it >= steps:
                 break
+    first_losses = [l for _, l in fetched[:3]] or [float("nan")]
+    last_losses = [l for _, l in fetched[-3:]] or [float("nan")]
 
     # AR decode on held-out sentences; measure attention monotonicity
     val = TTSDataSource(cfg, mode="validate",
@@ -107,8 +106,8 @@ def main():
         mets.append(attention_monotonicity(att[b], tl, fl))
     summary = {
         "steps": steps,
-        "loss_first20": float(np.mean(first_losses)),
-        "loss_last20": float(np.mean(last_losses)),
+        "loss_first": float(np.mean(first_losses)),
+        "loss_last": float(np.mean(last_losses)),
         "forward_frac": float(np.mean([m["forward_frac"] for m in mets])),
         "coverage": float(np.mean([m["coverage"] for m in mets])),
         "confidence": float(np.mean([m["confidence"] for m in mets])),

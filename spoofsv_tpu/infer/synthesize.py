@@ -41,8 +41,12 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
                  if cfg.tpu.griffin_lim_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     impl = cfg.tpu.griffin_lim_impl
+    # "auto": the Mosaic kernel only lowers on TPU, and it is inherently a
+    # bf16 kernel — an explicit griffin_lim_precision="highest" request keeps
+    # the f32 XLA loop. impl="pallas" forces the kernel regardless.
     use_pallas = (impl == "pallas" or
-                  (impl == "auto" and jax.default_backend() != "cpu"))
+                  (impl == "auto" and jax.default_backend() == "tpu"
+                   and cfg.tpu.griffin_lim_precision != "highest"))
 
     @jax.jit
     def vocode(lin_pred: Array, key: Array) -> Array:

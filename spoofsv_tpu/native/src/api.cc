@@ -297,11 +297,38 @@ int sk_flac_encode(const char* path, const int32_t* pcm, int64_t n_per_ch,
                    int channels, int sample_rate, int bits) {
   std::vector<uint8_t> out;
   flac_encode(pcm, n_per_ch, channels, sample_rate, bits, &out);
+  if (out.empty()) return -1;  // unsupported bit width
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
   size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
   std::fclose(f);
   return wrote == out.size() ? 0 : -1;
 }
+
+// Decode with C-side allocation — handles legal unknown-length streams
+// (STREAMINFO total_samples == 0). Returns an opaque buffer handle (or NULL)
+// and fills the metadata out-params; copy with sk_flac_pcm_copy, release
+// with sk_flac_pcm_free.
+void* sk_flac_decode_alloc(const char* path, int64_t* n_per_ch, int* sr,
+                           int* ch, int* bits) {
+  std::vector<uint8_t> buf = _read_file(path);
+  if (buf.empty()) return nullptr;
+  FlacInfo info;
+  auto* pcm = new std::vector<int32_t>();
+  int64_t n = flac_decode_buffer(buf.data(), buf.size(), &info, pcm);
+  if (n < 0) { delete pcm; return nullptr; }
+  *n_per_ch = n;
+  *sr = info.sample_rate;
+  *ch = info.channels;
+  *bits = info.bits;
+  return pcm;
+}
+
+void sk_flac_pcm_copy(void* h, int32_t* out) {
+  auto* pcm = (std::vector<int32_t>*)h;
+  std::memcpy(out, pcm->data(), pcm->size() * sizeof(int32_t));
+}
+
+void sk_flac_pcm_free(void* h) { delete (std::vector<int32_t>*)h; }
 
 }  // extern "C"

@@ -328,6 +328,16 @@ void flac_encode(const int32_t* pcm, int64_t n_per_ch, int channels,
   int sr_code = 13;
   for (int i = 1; i < 12; ++i)
     if (kRates[i] == sample_rate) { sr_code = i; break; }
+  // frame-header sample-size code (must match the subframe bit width)
+  int ss_code;
+  switch (bits) {
+    case 8: ss_code = 1; break;
+    case 12: ss_code = 2; break;
+    case 16: ss_code = 4; break;
+    case 20: ss_code = 5; break;
+    case 24: ss_code = 6; break;
+    default: out->clear(); return;   // unsupported width → caller errors
+  }
 
   int64_t pos = 0;
   uint64_t frame_no = 0;
@@ -338,7 +348,7 @@ void flac_encode(const int32_t* pcm, int64_t n_per_ch, int channels,
     f.bits(7, 4);                                     // blocksize: 16-bit field
     f.bits(sr_code, 4);
     f.bits(channels - 1, 4);                          // independent channels
-    f.bits(4, 3);                                     // 16-bit samples
+    f.bits(ss_code, 3);
     f.bits(0, 1);
     write_utf8_number(&f, frame_no++);
     f.bits(blocksize - 1, 16);

@@ -29,10 +29,15 @@ def _lib():
                                       ctypes.POINTER(ctypes.c_int),
                                       ctypes.POINTER(ctypes.c_int),
                                       ctypes.POINTER(ctypes.c_int)]
-        lib.sk_flac_decode.restype = ctypes.c_int64
-        lib.sk_flac_decode.argtypes = [ctypes.c_char_p,
-                                       ctypes.POINTER(ctypes.c_int32),
-                                       ctypes.c_int64]
+        lib.sk_flac_decode_alloc.restype = ctypes.c_void_p
+        lib.sk_flac_decode_alloc.argtypes = [ctypes.c_char_p,
+                                             ctypes.POINTER(ctypes.c_int64),
+                                             ctypes.POINTER(ctypes.c_int),
+                                             ctypes.POINTER(ctypes.c_int),
+                                             ctypes.POINTER(ctypes.c_int)]
+        lib.sk_flac_pcm_copy.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_int32)]
+        lib.sk_flac_pcm_free.argtypes = [ctypes.c_void_p]
         lib.sk_flac_encode.restype = ctypes.c_int
         lib.sk_flac_encode.argtypes = [ctypes.c_char_p,
                                        ctypes.POINTER(ctypes.c_int32),
@@ -43,23 +48,28 @@ def _lib():
 
 
 def decode_flac(path: str) -> Tuple[np.ndarray, int]:
-    """Decode → (float32 (n,) mono or (n, ch), sample_rate)."""
+    """Decode → (float32 (n,) mono or (n, ch), sample_rate).
+
+    Allocation happens C-side so legal unknown-length streams
+    (STREAMINFO total_samples == 0) decode fully.
+    """
     lib = _lib()
     n = ctypes.c_int64(0)
     sr = ctypes.c_int(0)
     ch = ctypes.c_int(0)
     bits = ctypes.c_int(0)
-    if lib.sk_flac_probe(path.encode(), ctypes.byref(n), ctypes.byref(sr),
-                         ctypes.byref(ch), ctypes.byref(bits)) != 0:
+    h = lib.sk_flac_decode_alloc(path.encode(), ctypes.byref(n),
+                                 ctypes.byref(sr), ctypes.byref(ch),
+                                 ctypes.byref(bits))
+    if not h:
         raise ValueError(f"not a decodable FLAC file: {path}")
-    cap = max(n.value, 1) * ch.value
-    pcm = np.zeros((cap,), np.int32)
-    got = lib.sk_flac_decode(path.encode(),
-                             pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                             cap)
-    if got < 0:
-        raise ValueError(f"FLAC decode failed: {path}")
-    pcm = pcm[: got * ch.value]
+    try:
+        pcm = np.zeros((n.value * ch.value,), np.int32)
+        if len(pcm):
+            lib.sk_flac_pcm_copy(
+                h, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.sk_flac_pcm_free(h)
     scale = float(1 << (bits.value - 1))
     y = pcm.astype(np.float32) / scale
     if ch.value > 1:

@@ -20,6 +20,7 @@ import ctypes
 import json
 import os
 import subprocess
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -30,6 +31,7 @@ from spoofsv_tpu.dsp import host as dsp_host
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _LIB = None
+_HANDLE_LOCK = threading.Lock()  # guards lazy native-handle creation
 
 c_double_p = ctypes.POINTER(ctypes.c_double)
 c_float_p = ctypes.POINTER(ctypes.c_float)
@@ -169,14 +171,22 @@ class UBM:
         return cls(w, m, v)
 
     def handle(self):
-        if self._handle is None:
-            lib = _load_lib()
-            c, d = self.means.shape
-            self._handle = lib.sk_diag_ubm_from(
-                _dp(np.ascontiguousarray(self.weights)),
-                _dp(np.ascontiguousarray(self.means)),
-                _dp(np.ascontiguousarray(self.vars)), c, d)
+        with _HANDLE_LOCK:  # acc_stats runs from thread pools; ctypes drops the GIL
+            if self._handle is None:
+                lib = _load_lib()
+                c, d = self.means.shape
+                self._handle = lib.sk_diag_ubm_from(
+                    _dp(np.ascontiguousarray(self.weights)),
+                    _dp(np.ascontiguousarray(self.means)),
+                    _dp(np.ascontiguousarray(self.vars)), c, d)
         return self._handle
+
+    def __del__(self):
+        try:
+            if self._handle is not None and _LIB is not None:
+                _LIB.sk_diag_ubm_free(self._handle)
+        except Exception:
+            pass
 
     def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         lib = _load_lib()
@@ -225,14 +235,22 @@ class FullUBM:
         return cls(w, m, cv)
 
     def handle(self):
-        if self._handle is None:
-            lib = _load_lib()
-            c, d = self.means.shape
-            self._handle = lib.sk_full_ubm_from(
-                _dp(np.ascontiguousarray(self.weights)),
-                _dp(np.ascontiguousarray(self.means)),
-                _dp(np.ascontiguousarray(self.covs)), c, d)
+        with _HANDLE_LOCK:  # acc_stats runs from thread pools; ctypes drops the GIL
+            if self._handle is None:
+                lib = _load_lib()
+                c, d = self.means.shape
+                self._handle = lib.sk_full_ubm_from(
+                    _dp(np.ascontiguousarray(self.weights)),
+                    _dp(np.ascontiguousarray(self.means)),
+                    _dp(np.ascontiguousarray(self.covs)), c, d)
         return self._handle
+
+    def __del__(self):
+        try:
+            if self._handle is not None and _LIB is not None:
+                _LIB.sk_full_ubm_free(self._handle)
+        except Exception:
+            pass
 
     def acc_stats(self, feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         lib = _load_lib()
@@ -261,6 +279,13 @@ class IvectorExtractorFull:
         self._handle = handle
         self.ivec_dim = ivec_dim
 
+    def __del__(self):
+        try:
+            if self._handle is not None and _LIB is not None:
+                _LIB.sk_ivector_full_free(self._handle)
+        except Exception:
+            pass
+
     @classmethod
     def train(cls, fubm: FullUBM,
               stats: Sequence[Tuple[np.ndarray, np.ndarray]],
@@ -287,6 +312,13 @@ class IvectorExtractor:
     def __init__(self, handle, ivec_dim: int):
         self._handle = handle
         self.ivec_dim = ivec_dim
+
+    def __del__(self):
+        try:
+            if self._handle is not None and _LIB is not None:
+                _LIB.sk_ivector_free(self._handle)
+        except Exception:
+            pass
 
     @classmethod
     def train(cls, ubm: UBM, stats: Sequence[Tuple[np.ndarray, np.ndarray]],

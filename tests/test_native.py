@@ -344,3 +344,26 @@ class TestFlacLpcDecode:
         assert got.shape == (bs, 2)
         np.testing.assert_array_equal(got[:, 0], left)
         np.testing.assert_array_equal(got[:, 1], right)
+
+    def test_24bit_and_unknown_length(self, ivec, tmp_path):
+        """Review fixes: frame-header sample-size code follows `bits`, and
+        unknown-length streams (STREAMINFO total_samples=0) decode fully."""
+        from spoofsv_tpu.spoofkit.flacio import decode_flac, encode_flac
+        pcm = (np.arange(5000) % 1000 - 500).astype(np.int32) * 4000
+        p = str(tmp_path / "x24.flac")
+        encode_flac(p, pcm, 16000, bits=24)
+        y, _ = decode_flac(p)
+        np.testing.assert_array_equal(
+            np.round(np.asarray(y) * (1 << 23)).astype(np.int32), pcm)
+
+        pcm16 = (np.arange(9000) % 251 - 125).astype(np.int32) * 100
+        p2 = str(tmp_path / "u.flac")
+        encode_flac(p2, pcm16, 16000)
+        raw = bytearray(open(p2, "rb").read())
+        base = 8                       # 4 magic + 4 metadata-block header
+        raw[base + 13] &= 0xF0         # zero the 36-bit total_samples field
+        raw[base + 14] = raw[base + 15] = raw[base + 16] = raw[base + 17] = 0
+        open(p2, "wb").write(bytes(raw))
+        y2, _ = decode_flac(p2)
+        np.testing.assert_array_equal(
+            np.round(np.asarray(y2) * 32768.0).astype(np.int32), pcm16)
