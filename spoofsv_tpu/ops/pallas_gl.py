@@ -93,7 +93,7 @@ def _tiles_of(Tp: int):
     return out
 
 
-def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
+def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
                wvec, invw_l, invw_r, flip, ana, sedge, eana, *,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
@@ -185,8 +185,8 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
         return jnp.dot(x, fm, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    def iteration(it, carry):
-        # ---- Phase A: fsyn[f] = irfft(mag·ang)[f] ⊙ w  (all frames) ----
+    def phase_a():
+        """fsyn[f] = irfft(mag·ang)[f] ⊙ w for all frames of all rows."""
         for r0, ts in tiles:
             for ri in range(R):
                 m = mag_ref[ri, r0:r0 + ts, :].astype(f32)
@@ -200,6 +200,9 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
                                   preferred_element_type=f32)
                 fr = fr + cre[:, Fa:F] * nyq_ic[:]    # Nyquist rank-1 (sin≡0)
                 fsyn[ri, 3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
+
+    def iteration(it, carry):
+        phase_a()
 
         # ---- Edge signal reconstruction (exact wss + reflect) ----
         # sedge[ri] row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left);
@@ -295,6 +298,44 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref,
 
     jax.lax.fori_loop(0, n_iter, iteration, 0)
 
+    # ------------------------------------------------------------------
+    # Epilogue: the final istft(mag·ang) — one more synthesis pass, then a
+    # chunk-structured overlap-add straight into the audio output.
+    # audio[s] = invwss[s + N/2] · Σ_t fsyn[t][s + N/2 − hop·t]; in hop-sized
+    # chunks, audio chunk q = Σ_{r=0..3} fsyn[q+2-r][chunk r] (chunk q+2 of
+    # the OLA signal; the N/2 crop = 2 hops). Interior invwss is 1/1.5;
+    # audio chunk 0 and the last 4 chunks take the true edge tables.
+    # ------------------------------------------------------------------
+    phase_a()
+    inv_interior = f32(1.0 / 1.5)
+    for q0, ts in _tiles_of(T - 1):
+        if q0 >= T - 1:
+            break
+        ts = min(ts, T - 1 - q0)
+        for ri in range(R):
+            acc = jnp.zeros((ts, hop), f32)
+            for r in range(4):
+                acc = acc + fsyn[ri, q0 + 5 - r: q0 + 5 - r + ts,
+                                 hop * r: hop * (r + 1)].astype(f32)
+            acc = acc * inv_interior
+            audio_ref[ri, q0:q0 + ts, :] = acc
+        # edge-chunk corrections (exact window_sumsquare values)
+        for ri in range(R):
+            if q0 == 0:
+                fix = jnp.zeros((1, hop), f32)
+                for r in range(4):
+                    fix = fix + fsyn[ri, 5 - r: 6 - r,
+                                     hop * r: hop * (r + 1)].astype(f32)
+                audio_ref[ri, 0:1, :] = fix * invw_l[2:3, :]
+            for q in range(max(q0, T - 5), min(q0 + ts, T - 1)):
+                idx = q + 2 - (T - 3)          # invw_r row for OLA chunk q+2
+                if 0 <= idx < 4:
+                    fix = jnp.zeros((1, hop), f32)
+                    for r in range(4):
+                        fix = fix + fsyn[ri, q + 5 - r: q + 6 - r,
+                                         hop * r: hop * (r + 1)].astype(f32)
+                    audio_ref[ri, q:q + 1, :] = fix * invw_r[idx:idx + 1, :]
+
 
 def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Array]:
     """Plain-jnp mirror of the kernel's deterministic phase init — used by the
@@ -365,18 +406,21 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         grid=(Bp // R,),
         in_specs=[vspec((R, Tp, F), lambda b, sref: (b, 0, 0))],
         out_specs=(vspec((R, Tp, F), lambda b, sref: (b, 0, 0)),
-                   vspec((R, Tp, F), lambda b, sref: (b, 0, 0))),
+                   vspec((R, Tp, F), lambda b, sref: (b, 0, 0)),
+                   vspec((R, T - 1, hop), lambda b, sref: (b, 0, 0))),
         scratch_shapes=scratches,
     )
-    ang_re, ang_im = pl.pallas_call(
+    ang_re, ang_im, audio = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((Bp, Tp, F), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((Bp, Tp, F), jnp.bfloat16)),
+                   jax.ShapeDtypeStruct((Bp, Tp, F), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((Bp, T - 1, hop), jnp.float32)),
         interpret=interpret,
         **kw,
     )(seeds, mag_p)
-    return ang_re[:B, :T, :], ang_im[:B, :T, :]
+    return (ang_re[:B, :T, :], ang_im[:B, :T, :],
+            audio[:B].reshape(B, hop * (T - 1)))
 
 
 def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
@@ -400,15 +444,10 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
                                   use_matmul=use_matmul, precision=precision)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if use_matmul is None:
-        use_matmul = jaxdsp._default_use_matmul()
+    del use_matmul  # only the XLA fallback path distinguishes backends
     seeds = jax.random.randint(key, (B,), 0, np.iinfo(np.int32).max,
                                dtype=jnp.int32)
-    ang_re, ang_im = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
-                                     n_fft, hop_length, n_iter, momentum,
-                                     bool(interpret))
-    mag = mag.astype(jnp.float32)
-    return jaxdsp.istft_ri(mag * ang_re.astype(jnp.float32),
-                           mag * ang_im.astype(jnp.float32),
-                           n_fft, hop_length, win_length,
-                           use_matmul=use_matmul, precision=precision)
+    _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
+                                  n_fft, hop_length, n_iter, momentum,
+                                  bool(interpret))
+    return audio

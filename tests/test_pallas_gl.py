@@ -51,17 +51,15 @@ def _xla_gl_with_hash_init(mag, n_iter, momentum=0.99):
                               init_angles=init)
 
 
-def _fused_gl(mag, n_iter, momentum=0.99):
+def _fused_gl(mag, n_iter, momentum=0.99, return_angles=False):
     B, T, F = mag.shape
     seeds = jax.random.randint(jax.random.PRNGKey(0), (B,), 0,
                                np.iinfo(np.int32).max, dtype=jnp.int32)
-    ang_re, ang_im = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds, NFFT,
-                                     HOP, n_iter, momentum, True)
-    m = mag.astype(jnp.float32)
-    return jaxdsp.istft_ri(m * ang_re.astype(jnp.float32),
-                           m * ang_im.astype(jnp.float32),
-                           NFFT, HOP, NFFT, use_matmul=True,
-                           precision=jax.lax.Precision.DEFAULT)
+    ang_re, ang_im, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
+                                            NFFT, HOP, n_iter, momentum, True)
+    if return_angles:
+        return ang_re, ang_im, audio
+    return audio
 
 
 def _rel_l2(a, b):
@@ -117,3 +115,14 @@ class TestFusedGriffinLim:
         a_x = _xla_gl_with_hash_init(mag, n_iter=1, momentum=0.0)
         a_f = _fused_gl(mag, n_iter=1, momentum=0.0)
         assert _rel_l2(a_f, a_x) < 0.03
+
+    def test_epilogue_matches_reference_istft(self):
+        """The kernel's in-VMEM overlap-add epilogue == istft_ri(mag·ang)
+        (same angles, incl. the wss edge chunks at both ends)."""
+        mag = _test_mag(2, 40, seed=6)
+        ang_re, ang_im, audio = _fused_gl(mag, n_iter=2, return_angles=True)
+        m = mag.astype(jnp.bfloat16).astype(jnp.float32)
+        ref = jaxdsp.istft_ri(m * ang_re.astype(jnp.float32),
+                              m * ang_im.astype(jnp.float32),
+                              NFFT, HOP, NFFT, use_matmul=False)
+        assert _rel_l2(audio, ref) < 0.02
