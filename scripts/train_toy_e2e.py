@@ -7,6 +7,9 @@ scan AR decoder — on the synthetic char→tone corpus and reports whether
 attention became monotonic.
 
 Usage: PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/train_toy_e2e.py [steps]
+       [--adversarial]   (WGAN-GP, train/adversarial_wasserstein_gp.py regime)
+Env: SPOOFSV_TOY_TPU=1 runs on the TPU backend; SPOOFSV_TOY_METRICS_EVERY=k
+sets the metric fetch cadence.
 """
 
 from __future__ import annotations
@@ -42,7 +45,9 @@ from spoofsv_tpu.train.loop import Trainer
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    adversarial = "--adversarial" in sys.argv
+    steps = int(args[0]) if args else 2000
     work = tempfile.mkdtemp(prefix="toy_e2e_")
     data_root = os.path.join(work, "corpus")
     spk_emb = os.path.join(work, "spk_emb")
@@ -60,7 +65,12 @@ def main():
     model = MelSyn(vocab_len=cfg.vocab_len, condition=True,
                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim)
+    disc = None
+    if adversarial:
+        from spoofsv_tpu.models.discriminator import MelDisc
+        disc = MelDisc(disc_dim=cfg.disc_dim)
     trainer = Trainer(cfg, model, "train_text2mel", ctime="toy",
+                      adversarial=adversarial, disc_model=disc,
                       validate_with_decode=False,
                       metrics_every=int(os.environ.get(
                           "SPOOFSV_TOY_METRICS_EVERY", "1")))
@@ -76,12 +86,13 @@ def main():
                 trainer.init(jax.random.PRNGKey(0), batch)
             key, sub = jax.random.split(key)
             m = trainer.train_iteration(batch, sub)
-            if m:
+            if m and "loss" in m:
                 fetched.append((it, m["loss"]))
             it += 1
             if it % 200 == 0 and m:
-                print(f"[toy-e2e] iter {it} loss {m['loss']:.4f} "
-                      f"att {m.get('att', float('nan')):.4f} "
+                shown = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())
+                                 if k in ("loss", "att", "loss_d", "wd", "gp"))
+                print(f"[toy-e2e] iter {it} {shown} "
                       f"({(time.time()-t0)/it*1000:.0f} ms/it)", flush=True)
             if it >= steps:
                 break
@@ -95,7 +106,9 @@ def main():
     vb = next(iter(vload))
     n_frames = int(vb["mel"].shape[1])
     decoder = make_decoder(model, n_frames)
-    _, att, _ = decoder(trainer.state.params, jnp.asarray(vb["text"]),
+    gen_params = (trainer.state.gen_params if adversarial
+                  else trainer.state.params)
+    _, att, _ = decoder(gen_params, jnp.asarray(vb["text"]),
                         jnp.asarray(vb["spk"]))
     att = np.asarray(att)
 
@@ -106,6 +119,8 @@ def main():
         mets.append(attention_monotonicity(att[b], tl, fl))
     summary = {
         "steps": steps,
+        "adversarial": adversarial,
+        "wd_tail": [round(v, 4) for v in trainer.loss_logs["wd"][-5:]],
         "loss_first": float(np.mean(first_losses)),
         "loss_last": float(np.mean(last_losses)),
         "forward_frac": float(np.mean([m["forward_frac"] for m in mets])),
