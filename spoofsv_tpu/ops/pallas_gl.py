@@ -33,9 +33,14 @@ Key design points (all shapes static; reference behavior is librosa 0.7
   normalize step is f32.
 
 Measured on v5e at B=128, T=1300, 64 iterations: 1170 ms (XLA loop) →
-371 ms, identical spectral convergence (0.0585 vs 0.0588). The final
-``istft(mag·ang)`` runs outside the kernel in f32 via
-:func:`spoofsv_tpu.dsp.jaxdsp.istft_ri`.
+360 ms, identical spectral convergence (0.0585 vs 0.0588). The final
+``istft(mag·ang)`` runs as an in-kernel chunk overlap-add epilogue.
+
+Tried and measured NOT faster (kept out for simplicity): 2 utterance rows
+per grid step (378 ms — Mosaic already overlaps within a row, and the extra
+VMEM state hurts pipelining); manual software-pipelining of the tile loops
+(emitting the next tile's VPU work between a tile's matmuls and its
+dependent tail — exactly 360 ms, i.e. the scheduler already handles it).
 """
 
 from __future__ import annotations
