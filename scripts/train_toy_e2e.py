@@ -45,9 +45,14 @@ from spoofsv_tpu.train.loop import Trainer
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    adversarial = "--adversarial" in sys.argv
-    steps = int(args[0]) if args else 2000
+    import argparse
+    ps = argparse.ArgumentParser(description="toy-corpus learning dynamics")
+    ps.add_argument("steps", type=int, nargs="?", default=2000)
+    ps.add_argument("--adversarial", action="store_true",
+                    help="WGAN-GP regime (RATIO D:G alternation)")
+    cli = ps.parse_args()
+    adversarial = cli.adversarial
+    steps = cli.steps
     work = tempfile.mkdtemp(prefix="toy_e2e_")
     data_root = os.path.join(work, "corpus")
     spk_emb = os.path.join(work, "spk_emb")
@@ -106,9 +111,7 @@ def main():
     vb = next(iter(vload))
     n_frames = int(vb["mel"].shape[1])
     decoder = make_decoder(model, n_frames)
-    gen_params = (trainer.state.gen_params if adversarial
-                  else trainer.state.params)
-    _, att, _ = decoder(gen_params, jnp.asarray(vb["text"]),
+    _, att, _ = decoder(trainer._gen_params(), jnp.asarray(vb["text"]),
                         jnp.asarray(vb["spk"]))
     att = np.asarray(att)
 

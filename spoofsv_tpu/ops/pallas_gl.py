@@ -314,9 +314,6 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
     phase_a()
     inv_interior = f32(1.0 / 1.5)
     for q0, ts in _tiles_of(T - 1):
-        if q0 >= T - 1:
-            break
-        ts = min(ts, T - 1 - q0)
         for ri in range(R):
             acc = jnp.zeros((ts, hop), f32)
             for r in range(4):
@@ -324,22 +321,22 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                                  hop * r: hop * (r + 1)].astype(f32)
             acc = acc * inv_interior
             audio_ref[ri, q0:q0 + ts, :] = acc
-        # edge-chunk corrections (exact window_sumsquare values)
+        # edge-chunk corrections: only OLA chunks 2 (audio chunk 0) and T
+        # (audio chunk T-2) have window_sumsquare ≠ 1.5 — the wss edge spans
+        # 3 hops and the istft crop removes 2 of them at each end.
         for ri in range(R):
-            if q0 == 0:
+            def _ola_chunk(q):
                 fix = jnp.zeros((1, hop), f32)
                 for r in range(4):
-                    fix = fix + fsyn[ri, 5 - r: 6 - r,
+                    fix = fix + fsyn[ri, q + 5 - r: q + 6 - r,
                                      hop * r: hop * (r + 1)].astype(f32)
-                audio_ref[ri, 0:1, :] = fix * invw_l[2:3, :]
-            for q in range(max(q0, T - 5), min(q0 + ts, T - 1)):
-                idx = q + 2 - (T - 3)          # invw_r row for OLA chunk q+2
-                if 0 <= idx < 4:
-                    fix = jnp.zeros((1, hop), f32)
-                    for r in range(4):
-                        fix = fix + fsyn[ri, q + 5 - r: q + 6 - r,
-                                         hop * r: hop * (r + 1)].astype(f32)
-                    audio_ref[ri, q:q + 1, :] = fix * invw_r[idx:idx + 1, :]
+                return fix
+
+            if q0 == 0:
+                audio_ref[ri, 0:1, :] = _ola_chunk(0) * invw_l[2:3, :]
+            if q0 <= T - 2 < q0 + ts:
+                audio_ref[ri, T - 2: T - 1, :] = (
+                    _ola_chunk(T - 2) * invw_r[3:4, :])
 
 
 def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Array]:
@@ -415,6 +412,9 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                    vspec((R, T - 1, hop), lambda b, sref: (b, 0, 0))),
         scratch_shapes=scratches,
     )
+    # NB: the angle outputs are consumed only by the parity tests; the
+    # production path uses `audio` alone. Keeping them costs ~0.1% of kernel
+    # time in HBM writes — accepted for testability.
     ang_re, ang_im, audio = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

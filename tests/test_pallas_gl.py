@@ -116,10 +116,12 @@ class TestFusedGriffinLim:
         a_f = _fused_gl(mag, n_iter=1, momentum=0.0)
         assert _rel_l2(a_f, a_x) < 0.03
 
-    def test_epilogue_matches_reference_istft(self):
+    @pytest.mark.parametrize("T", [40, 140])
+    def test_epilogue_matches_reference_istft(self, T):
         """The kernel's in-VMEM overlap-add epilogue == istft_ri(mag·ang)
-        (same angles, incl. the wss edge chunks at both ends)."""
-        mag = _test_mag(2, 40, seed=6)
+        (same angles, incl. the wss edge chunks at both ends). T=140 crosses
+        the TT=128 tile boundary of the epilogue loop."""
+        mag = _test_mag(2, T, seed=6)
         ang_re, ang_im, audio = _fused_gl(mag, n_iter=2, return_angles=True)
         m = mag.astype(jnp.bfloat16).astype(jnp.float32)
         ref = jaxdsp.istft_ri(m * ang_re.astype(jnp.float32),
