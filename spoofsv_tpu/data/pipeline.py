@@ -181,11 +181,6 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
-        self._lengths: Optional[List[int]] = None
-
-    def _mel_len(self, idx: int) -> int:
-        # length from cached features if possible; else extract (and cache)
-        return self.source[idx].mel.shape[0]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.source))
@@ -202,8 +197,11 @@ class BucketedLoader:
                 yield pad_batch(pool, cfg, self.with_lin)
                 pools[bucket] = []
         if not self.drop_last:
-            leftovers = [e for pool in pools.values() for e in pool]
-            for i in range(0, len(leftovers), self.batch_size):
-                chunk = leftovers[i: i + self.batch_size]
-                if chunk:
-                    yield pad_batch(chunk, cfg, self.with_lin)
+            # Flush leftovers per bucket: merging pools would mix lengths in
+            # one chunk, pad to the mixed max, and trigger extra XLA compiles.
+            for bucket in sorted(pools):
+                pool = pools[bucket]
+                for i in range(0, len(pool), self.batch_size):
+                    chunk = pool[i: i + self.batch_size]
+                    if chunk:
+                        yield pad_batch(chunk, cfg, self.with_lin)

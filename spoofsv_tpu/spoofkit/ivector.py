@@ -421,9 +421,6 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
 
     rng = np.random.default_rng(seed)
 
-    def utt_feats(args):
-        return mfcc_vad_features(args)
-
     # ---- 1. features for train speakers
     train_items: List[Tuple[str, str]] = []
     for spk in sorted(os.listdir(train_dir)):

@@ -262,7 +262,22 @@ class Trainer:
         self.loss_val_log = meta.get("loss_val_log", [])
         self.loss_logs = meta.get("loss_logs", self.loss_logs)
 
+    def _flush_loss_logs(self) -> None:
+        """Materialize any device-held loss scalars as host floats, one
+        stacked transfer per log (a per-scalar fetch would cost a full
+        device roundtrip each on remote-TPU transports)."""
+        out: Dict[str, List[float]] = {}
+        for k, vs in self.loss_logs.items():
+            if vs and any(isinstance(v, jax.Array) for v in vs):
+                stacked = np.asarray(jnp.stack([jnp.asarray(v, jnp.float32)
+                                                for v in vs]))
+                out[k] = [float(x) for x in stacked]
+            else:
+                out[k] = [float(v) for v in vs]
+        self.loss_logs = out
+
     def _host_meta(self) -> Dict[str, Any]:
+        self._flush_loss_logs()
         return {"iteration": self.iteration, "epoch": self.epoch,
                 "loss_val_log": self.loss_val_log, "loss_logs": self.loss_logs}
 
@@ -285,17 +300,19 @@ class Trainer:
             is_g = True
             self.state, m = self.step_fn(self.state, batch, rng)
         self.iteration += 1
-        if self.iteration % self.metrics_every:
-            return {}
-        host = {k: float(v) for k, v in m.items()}
+        # Keep the checkpoint loss-history contract at any metrics_every: on
+        # off iterations the *device* scalars are appended (no sync); they are
+        # batch-fetched by _flush_loss_logs at checkpoint/plot time.
         if self.adversarial:
             if is_g:
-                self.loss_logs["t_s"].append(host["loss"])
-                self.loss_logs["t_s_o"].append(host["loss_disc"])
+                self.loss_logs["t_s"].append(m["loss"])
+                self.loss_logs["t_s_o"].append(m["loss_disc"])
             else:
-                self.loss_logs["t_d"].append(host["loss_d"])
-                self.loss_logs["wd"].append(host["wd"])
-        return host
+                self.loss_logs["t_d"].append(m["loss_d"])
+                self.loss_logs["wd"].append(m["wd"])
+        if self.iteration % self.metrics_every:
+            return {}
+        return {k: float(v) for k, v in m.items()}
 
     def _gen_params(self):
         return (self.state.gen_params if self.adversarial else self.state.params)
@@ -344,12 +361,17 @@ class Trainer:
                                           iteration=self.iteration,
                                           epoch=self.epoch))
                 last_batch = batch
-                if self.validator is not None and val_loader_factory is not None:
-                    vb = [
-                        {k: jnp.asarray(v) for k, v in b.items()}
-                        for b in val_loader_factory()]
+                # Only touch the validation loader on validation iterations —
+                # constructing it every step would cost O(val-set) host
+                # feature extraction per training step.
+                if (self.validator is not None and val_loader_factory is not None
+                        and self.iteration > 0
+                        and self.iteration % self.cfg.val_every_iter == 0):
+                    vb = ({k: jnp.asarray(v) for k, v in b.items()}
+                          for b in val_loader_factory())
                     lv = self.maybe_validate_and_checkpoint(vb, last_batch)
                     if lv is not None and plot:
+                        self._flush_loss_logs()
                         plot_losses(self.loss_logs, self.iteration, self.fig_dir)
                 if max_iterations and self.iteration >= max_iterations:
                     return self.state

@@ -56,6 +56,53 @@ class TestOrdinaryTrainer:
         assert os.path.exists(os.path.join(base, "metrics.jsonl"))
         assert trainer.loss_val_log, "validation ran"
 
+    def test_val_loader_untouched_off_cadence(self, tmp_path):
+        """fit() must not construct/iterate the validation loader on
+        non-validation iterations — that would cost O(val-set) host feature
+        extraction per training step."""
+        cfg = tiny_cfg(str(tmp_path))  # val_every_iter=3
+        trainer = Trainer(cfg, tiny_melsyn(cfg), "train_text2mel", ctime="tv")
+        data = batches(cfg)
+        calls = {"factory": 0, "items": 0}
+
+        def val_factory():
+            calls["factory"] += 1
+
+            def gen():
+                for b in data[:2]:
+                    calls["items"] += 1
+                    yield b
+            return gen()
+
+        trainer.fit(lambda: iter(data), val_factory, max_iterations=7)
+        # validations at iterations 3 and 6 only
+        assert calls["factory"] == 2, calls
+        assert calls["items"] == 4, calls
+
+    def test_loss_logs_kept_with_metrics_every(self, tmp_path):
+        """metrics_every>1 must not thin the checkpoint loss-history contract:
+        device scalars are appended every step and flushed at meta time."""
+        cfg = tiny_cfg(str(tmp_path)).replace(ratio=1)
+        trainer = Trainer(cfg, tiny_melsyn(cfg), "train_text2mel",
+                          adversarial=True, disc_model=MelDisc(disc_dim=8),
+                          ctime="tm", validate_with_decode=False,
+                          metrics_every=4)
+        data = batches(cfg)
+        key = jax.random.PRNGKey(0)
+        for b in data * 2:
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            if trainer.state is None:
+                trainer.init(jax.random.PRNGKey(0), b)
+            key, sub = jax.random.split(key)
+            trainer.train_iteration(b, sub)
+        # ratio=1 → alternating G D over 8 iterations: 4 G + 4 D entries
+        assert len(trainer.loss_logs["t_s"]) == 4
+        assert len(trainer.loss_logs["t_d"]) == 4
+        meta = trainer._host_meta()
+        for k, vs in meta["loss_logs"].items():
+            assert all(isinstance(v, float) for v in vs), (k, vs)
+            assert all(np.isfinite(v) for v in vs), (k, vs)
+
     def test_resume_roundtrip(self, tmp_path):
         cfg = tiny_cfg(str(tmp_path))
         t1 = Trainer(cfg, tiny_melsyn(cfg), "train_text2mel", ctime="t2")
