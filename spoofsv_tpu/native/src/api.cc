@@ -183,6 +183,39 @@ void sk_extract_ivector(void* h, const double* Nc, const double* Fc,
 
 void sk_ivector_free(void* h) { delete (IvectorExtractor*)h; }
 
+// Serialization (model caching across runs — the reference trains the
+// extractor on the first run only, kaldi_ivectors/run.sh:105-129).
+// T laid out (C, D, R); means (C, D); inv_vars (C, D).
+void sk_ivector_get(void* h, double* T_out, double* means_out,
+                    double* inv_vars_out) {
+  IvectorExtractor* e = (IvectorExtractor*)h;
+  size_t DR = (size_t)e->dim * e->ivec_dim;
+  for (int c = 0; c < e->num_comp; ++c)
+    std::memcpy(T_out + c * DR, e->T[c].data.data(), DR * sizeof(double));
+  std::memcpy(means_out, e->ubm_means.data.data(),
+              e->ubm_means.data.size() * sizeof(double));
+  std::memcpy(inv_vars_out, e->ubm_inv_vars.data.data(),
+              e->ubm_inv_vars.data.size() * sizeof(double));
+}
+
+void* sk_ivector_from(const double* T, const double* means,
+                      const double* inv_vars, int C, int D, int R) {
+  IvectorExtractor* e = new IvectorExtractor();
+  e->num_comp = C;
+  e->dim = D;
+  e->ivec_dim = R;
+  e->T.assign(C, Mat(D, R));
+  size_t DR = (size_t)D * R;
+  for (int c = 0; c < C; ++c)
+    std::memcpy(e->T[c].data.data(), T + c * DR, DR * sizeof(double));
+  e->ubm_means = Mat(C, D);
+  e->ubm_inv_vars = Mat(C, D);
+  std::memcpy(e->ubm_means.data.data(), means, (size_t)C * D * sizeof(double));
+  std::memcpy(e->ubm_inv_vars.data.data(), inv_vars,
+              (size_t)C * D * sizeof(double));
+  return e;
+}
+
 // ---------------- full-covariance i-vector extractor ----------------
 void* sk_train_ivector_full(void* fubm, int R, const double* allN,
                             const double* allF, int U, int iters,
@@ -215,6 +248,42 @@ void sk_extract_ivector_full(void* h, const double* Nc, const double* Fc,
 
 void sk_ivector_full_free(void* h) { delete (IvectorExtractorFull*)h; }
 
+// T laid out (C, D, R); means (C, D); inv_covs (C, D, D).
+void sk_ivector_full_get(void* h, double* T_out, double* means_out,
+                         double* inv_covs_out) {
+  IvectorExtractorFull* e = (IvectorExtractorFull*)h;
+  size_t DR = (size_t)e->dim * e->ivec_dim;
+  size_t DD = (size_t)e->dim * e->dim;
+  for (int c = 0; c < e->num_comp; ++c) {
+    std::memcpy(T_out + c * DR, e->T[c].data.data(), DR * sizeof(double));
+    std::memcpy(inv_covs_out + c * DD, e->inv_covs[c].data.data(),
+                DD * sizeof(double));
+  }
+  std::memcpy(means_out, e->ubm_means.data.data(),
+              e->ubm_means.data.size() * sizeof(double));
+}
+
+void* sk_ivector_full_from(const double* T, const double* means,
+                           const double* inv_covs, int C, int D, int R) {
+  IvectorExtractorFull* e = new IvectorExtractorFull();
+  e->num_comp = C;
+  e->dim = D;
+  e->ivec_dim = R;
+  e->T.assign(C, Mat(D, R));
+  e->inv_covs.assign(C, Mat(D, D));
+  size_t DR = (size_t)D * R;
+  size_t DD = (size_t)D * D;
+  for (int c = 0; c < C; ++c) {
+    std::memcpy(e->T[c].data.data(), T + c * DR, DR * sizeof(double));
+    std::memcpy(e->inv_covs[c].data.data(), inv_covs + c * DD,
+                DD * sizeof(double));
+  }
+  e->ubm_means = Mat(C, D);
+  std::memcpy(e->ubm_means.data.data(), means, (size_t)C * D * sizeof(double));
+  e->refresh();
+  return e;
+}
+
 // ---------------- PLDA ----------------
 void* sk_train_plda(const double* ivecs, int N, int D, const int* labels,
                     int num_spk, int verbose) {
@@ -240,6 +309,27 @@ double sk_plda_llr(void* h, const double* enroll_mean_t, int n,
 }
 
 void sk_plda_free(void* h) { delete (Plda*)h; }
+
+// mean (D); transform (D, D); psi (D).
+void sk_plda_get(void* h, double* mean, double* transform, double* psi) {
+  Plda* p = (Plda*)h;
+  std::memcpy(mean, p->mean.data(), p->dim * sizeof(double));
+  std::memcpy(transform, p->transform.data.data(),
+              (size_t)p->dim * p->dim * sizeof(double));
+  std::memcpy(psi, p->psi.data(), p->dim * sizeof(double));
+}
+
+void* sk_plda_from(const double* mean, const double* transform,
+                   const double* psi, int D) {
+  Plda* p = new Plda();
+  p->dim = D;
+  p->mean.assign(mean, mean + D);
+  p->transform = Mat(D, D);
+  std::memcpy(p->transform.data.data(), transform,
+              (size_t)D * D * sizeof(double));
+  p->psi.assign(psi, psi + D);
+  return p;
+}
 
 double sk_compute_eer(const double* target, int nt, const double* nontarget,
                       int nn, double* threshold) {

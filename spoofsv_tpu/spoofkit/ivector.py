@@ -88,6 +88,15 @@ def _load_lib() -> ctypes.CDLL:
     lib.sk_extract_ivector_full.argtypes = [ctypes.c_void_p, c_double_p,
                                             c_double_p, c_double_p]
     lib.sk_ivector_full_free.argtypes = [ctypes.c_void_p]
+    lib.sk_ivector_full_get.argtypes = [ctypes.c_void_p] + [c_double_p] * 3
+    lib.sk_ivector_full_from.restype = ctypes.c_void_p
+    lib.sk_ivector_full_from.argtypes = [c_double_p] * 3 + [ctypes.c_int] * 3
+    lib.sk_ivector_get.argtypes = [ctypes.c_void_p] + [c_double_p] * 3
+    lib.sk_ivector_from.restype = ctypes.c_void_p
+    lib.sk_ivector_from.argtypes = [c_double_p] * 3 + [ctypes.c_int] * 3
+    lib.sk_plda_get.argtypes = [ctypes.c_void_p] + [c_double_p] * 3
+    lib.sk_plda_from.restype = ctypes.c_void_p
+    lib.sk_plda_from.argtypes = [c_double_p] * 3 + [ctypes.c_int]
     lib.sk_train_ivector.restype = ctypes.c_void_p
     lib.sk_train_ivector.argtypes = [c_double_p, c_double_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int, c_double_p,
@@ -275,9 +284,11 @@ class IvectorExtractorFull:
     """T-matrix extractor on the full-covariance UBM (the configuration the
     reference's Kaldi pipeline actually runs — ``run.sh:119-129``)."""
 
-    def __init__(self, handle, ivec_dim: int):
+    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0):
         self._handle = handle
         self.ivec_dim = ivec_dim
+        self.num_comp = num_comp
+        self.dim = dim
 
     def __del__(self):
         try:
@@ -297,7 +308,8 @@ class IvectorExtractorFull:
         allF = np.ascontiguousarray(np.stack([s[1] for s in stats]), np.float64)
         h = lib.sk_train_ivector_full(fubm.handle(), ivec_dim, _dp(allN),
                                       _dp(allF), u, iters, seed, int(verbose))
-        return cls(h, ivec_dim)
+        c, d = fubm.means.shape
+        return cls(h, ivec_dim, c, d)
 
     def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
         lib = _load_lib()
@@ -307,11 +319,33 @@ class IvectorExtractorFull:
             _dp(np.ascontiguousarray(F, np.float64)), _dp(out))
         return out
 
+    def save(self, path: str) -> None:
+        lib = _load_lib()
+        c, d, r = self.num_comp, self.dim, self.ivec_dim
+        T = np.zeros((c, d, r), np.float64)
+        means = np.zeros((c, d), np.float64)
+        inv_covs = np.zeros((c, d, d), np.float64)
+        lib.sk_ivector_full_get(self._handle, _dp(T), _dp(means), _dp(inv_covs))
+        np.savez(path, T=T, means=means, inv_covs=inv_covs)
+
+    @classmethod
+    def load(cls, path: str) -> "IvectorExtractorFull":
+        lib = _load_lib()
+        z = np.load(path)
+        T = np.ascontiguousarray(z["T"], np.float64)
+        means = np.ascontiguousarray(z["means"], np.float64)
+        inv_covs = np.ascontiguousarray(z["inv_covs"], np.float64)
+        c, d, r = T.shape
+        h = lib.sk_ivector_full_from(_dp(T), _dp(means), _dp(inv_covs), c, d, r)
+        return cls(h, r, c, d)
+
 
 class IvectorExtractor:
-    def __init__(self, handle, ivec_dim: int):
+    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0):
         self._handle = handle
         self.ivec_dim = ivec_dim
+        self.num_comp = num_comp
+        self.dim = dim
 
     def __del__(self):
         try:
@@ -333,7 +367,7 @@ class IvectorExtractor:
             _dp(np.ascontiguousarray(ubm.means)),
             _dp(np.ascontiguousarray(ubm.vars)), c, d, ivec_dim,
             _dp(allN), _dp(allF), u, iters, seed, int(verbose))
-        return cls(h, ivec_dim)
+        return cls(h, ivec_dim, c, d)
 
     def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
         lib = _load_lib()
@@ -343,6 +377,26 @@ class IvectorExtractor:
                                _dp(np.ascontiguousarray(F, np.float64)),
                                _dp(out))
         return out
+
+    def save(self, path: str) -> None:
+        lib = _load_lib()
+        c, d, r = self.num_comp, self.dim, self.ivec_dim
+        T = np.zeros((c, d, r), np.float64)
+        means = np.zeros((c, d), np.float64)
+        inv_vars = np.zeros((c, d), np.float64)
+        lib.sk_ivector_get(self._handle, _dp(T), _dp(means), _dp(inv_vars))
+        np.savez(path, T=T, means=means, inv_vars=inv_vars)
+
+    @classmethod
+    def load(cls, path: str) -> "IvectorExtractor":
+        lib = _load_lib()
+        z = np.load(path)
+        T = np.ascontiguousarray(z["T"], np.float64)
+        means = np.ascontiguousarray(z["means"], np.float64)
+        inv_vars = np.ascontiguousarray(z["inv_vars"], np.float64)
+        c, d, r = T.shape
+        h = lib.sk_ivector_from(_dp(T), _dp(means), _dp(inv_vars), c, d, r)
+        return cls(h, r, c, d)
 
 
 class PLDA:
@@ -376,6 +430,26 @@ class PLDA:
             self._handle, _dp(np.ascontiguousarray(enroll_mean_t, np.float64)),
             n_enroll, _dp(np.ascontiguousarray(test_t, np.float64))))
 
+    def save(self, path: str) -> None:
+        lib = _load_lib()
+        d = self.dim
+        mean = np.zeros((d,), np.float64)
+        transform = np.zeros((d, d), np.float64)
+        psi = np.zeros((d,), np.float64)
+        lib.sk_plda_get(self._handle, _dp(mean), _dp(transform), _dp(psi))
+        np.savez(path, mean=mean, transform=transform, psi=psi)
+
+    @classmethod
+    def load(cls, path: str) -> "PLDA":
+        lib = _load_lib()
+        z = np.load(path)
+        mean = np.ascontiguousarray(z["mean"], np.float64)
+        transform = np.ascontiguousarray(z["transform"], np.float64)
+        psi = np.ascontiguousarray(z["psi"], np.float64)
+        d = len(mean)
+        h = lib.sk_plda_from(_dp(mean), _dp(transform), _dp(psi), d)
+        return cls(h, d)
+
 
 def compute_eer(target: np.ndarray, nontarget: np.ndarray
                 ) -> Tuple[float, float]:
@@ -397,12 +471,38 @@ def length_normalize(x: np.ndarray) -> np.ndarray:
 # Pipeline (run.sh equivalent)
 # ----------------------------------------------------------------------
 
+def _models_complete(models_dir: str) -> bool:
+    need = ["ivector_models_meta.json", "extractor.npz", "plda.npz",
+            "mean_ivec.npy"]
+    return all(os.path.exists(os.path.join(models_dir, f)) for f in need)
+
+
+def load_ivector_models(models_dir: str):
+    """Load (stats_model, extractor, plda, mean_ivec) saved by a previous
+    ``run_ivector_pipeline(models_dir=...)`` run — the reference's
+    first-run-only training (``run.sh [0|1]``, run.sh:105-129)."""
+    with open(os.path.join(models_dir, "ivector_models_meta.json")) as f:
+        meta = json.load(f)
+    if meta["use_full_ubm"]:
+        stats_model = FullUBM.load(os.path.join(models_dir, "fubm.npz"))
+        extractor = IvectorExtractorFull.load(
+            os.path.join(models_dir, "extractor.npz"))
+    else:
+        stats_model = UBM.load(os.path.join(models_dir, "ubm.npz"))
+        extractor = IvectorExtractor.load(
+            os.path.join(models_dir, "extractor.npz"))
+    plda = PLDA.load(os.path.join(models_dir, "plda.npz"))
+    mean_ivec = np.load(os.path.join(models_dir, "mean_ivec.npy"))
+    return stats_model, extractor, plda, mean_ivec
+
+
 def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
                          eval_num: int = 20, num_gauss: int = 256,
                          ivec_dim: int = 100, max_train_utts_per_spk: int = 40,
                          ubm_frames_cap: int = 200_000, seed: int = 0,
                          workers: int = 8, verbose: bool = True,
-                         use_full_ubm: bool = True, full_ubm_iters: int = 3
+                         use_full_ubm: bool = True, full_ubm_iters: int = 3,
+                         models_dir: Optional[str] = None
                          ) -> Dict[str, float]:
     """Full evaluation: train UBM/T/PLDA on the staged train speakers, score
     mixed + no-spoof trials, report EER / clean threshold / spoof rate.
@@ -411,6 +511,11 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     i-vectors — run.sh:105-129) to fit a single-machine run; both are knobs.
     ``use_full_ubm`` mirrors Kaldi's diag→full UBM upgrade (run.sh:110-118):
     stats and the T-matrix then use the full-covariance model.
+
+    ``models_dir``: if set and it contains a complete model set from a prior
+    run, UBM/T/PLDA training is skipped and the saved models are reused
+    (run.sh's first-run-only training, ``run.sh [0|1]``); otherwise models are
+    trained and then saved there for the next invocation.
     """
     import concurrent.futures
 
@@ -421,68 +526,104 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
 
     rng = np.random.default_rng(seed)
 
-    # ---- 1. features for train speakers
-    train_items: List[Tuple[str, str]] = []
-    for spk in sorted(os.listdir(train_dir)):
-        utts = sorted(os.listdir(os.path.join(train_dir, spk)))
-        if max_train_utts_per_spk:
-            utts = utts[:max_train_utts_per_spk]
-        train_items += [(spk, os.path.join(train_dir, spk, u)) for u in utts]
-    if verbose:
-        print(f"[ivector] extracting features for {len(train_items)} train utts")
-    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-        train_feats = list(ex.map(lambda it: mfcc_vad_features(it[1]),
-                                  train_items))
-
-    # ---- 2. UBM on pooled (subsampled) frames
-    pool = np.concatenate([f for f in train_feats if len(f)], axis=0)
-    if len(pool) > ubm_frames_cap:
-        pool = pool[rng.choice(len(pool), ubm_frames_cap, replace=False)]
-    if verbose:
-        print(f"[ivector] training {num_gauss}-comp diag UBM on {len(pool)} frames")
-    ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose)
-    if use_full_ubm:
+    if models_dir and _models_complete(models_dir):
         if verbose:
-            print(f"[ivector] re-estimating full-covariance UBM ({full_ubm_iters} iters)")
-        stats_model = FullUBM.train(ubm, pool, iters=full_ubm_iters,
-                                    verbose=verbose)
+            print(f"[ivector] reusing trained models from {models_dir}")
+        stats_model, extractor, plda, mean_ivec = load_ivector_models(models_dir)
     else:
-        stats_model = ubm
+        # ---- 1. features for train speakers
+        train_items: List[Tuple[str, str]] = []
+        for spk in sorted(os.listdir(train_dir)):
+            utts = sorted(os.listdir(os.path.join(train_dir, spk)))
+            if max_train_utts_per_spk:
+                utts = utts[:max_train_utts_per_spk]
+            train_items += [(spk, os.path.join(train_dir, spk, u)) for u in utts]
+        if verbose:
+            print(f"[ivector] extracting features for {len(train_items)} train utts")
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            train_feats = list(ex.map(lambda it: mfcc_vad_features(it[1]),
+                                      train_items))
 
-    # ---- 3. stats + T-matrix
-    if verbose:
-        print("[ivector] accumulating stats + training T matrix")
-    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-        stats = list(ex.map(stats_model.acc_stats,
-                            [f for f in train_feats if len(f) > 0]))
-    kept = [i for i, f in enumerate(train_feats) if len(f) > 0]
-    if use_full_ubm:
-        extractor = IvectorExtractorFull.train(stats_model, stats,
-                                               ivec_dim=ivec_dim, iters=5,
-                                               seed=seed, verbose=verbose)
-    else:
-        extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim,
-                                           iters=5, seed=seed, verbose=verbose)
+        # ---- 2. UBM on pooled (subsampled) frames
+        pool = np.concatenate([f for f in train_feats if len(f)], axis=0)
+        if len(pool) > ubm_frames_cap:
+            pool = pool[rng.choice(len(pool), ubm_frames_cap, replace=False)]
+        if verbose:
+            print(f"[ivector] training {num_gauss}-comp diag UBM on {len(pool)} frames")
+        ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose)
+        if use_full_ubm:
+            if verbose:
+                print(f"[ivector] re-estimating full-covariance UBM ({full_ubm_iters} iters)")
+            stats_model = FullUBM.train(ubm, pool, iters=full_ubm_iters,
+                                        verbose=verbose)
+        else:
+            stats_model = ubm
 
-    # ---- 4. train i-vectors + PLDA
-    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-        train_ivecs = list(ex.map(lambda s: extractor.extract(*s), stats))
-    train_ivecs = np.stack(train_ivecs)
-    spk_names = sorted({train_items[i][0] for i in kept})
-    spk_idx = {s: i for i, s in enumerate(spk_names)}
-    labels = np.asarray([spk_idx[train_items[i][0]] for i in kept], np.int32)
-    mean_ivec = train_ivecs.mean(axis=0)
-    normed = np.stack([length_normalize(v - mean_ivec) for v in train_ivecs])
-    if verbose:
-        print(f"[ivector] training PLDA on {len(normed)} ivecs / {len(spk_names)} spk")
-    plda = PLDA.train(normed, labels, verbose=verbose)
+        # ---- 3. stats + T-matrix
+        if verbose:
+            print("[ivector] accumulating stats + training T matrix")
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            stats = list(ex.map(stats_model.acc_stats,
+                                [f for f in train_feats if len(f) > 0]))
+        kept = [i for i, f in enumerate(train_feats) if len(f) > 0]
+        if use_full_ubm:
+            extractor = IvectorExtractorFull.train(stats_model, stats,
+                                                   ivec_dim=ivec_dim, iters=5,
+                                                   seed=seed, verbose=verbose)
+        else:
+            extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim,
+                                               iters=5, seed=seed, verbose=verbose)
+
+        # ---- 4. train i-vectors + PLDA
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            train_ivecs = list(ex.map(lambda s: extractor.extract(*s), stats))
+        train_ivecs = np.stack(train_ivecs)
+        spk_names = sorted({train_items[i][0] for i in kept})
+        spk_idx = {s: i for i, s in enumerate(spk_names)}
+        labels = np.asarray([spk_idx[train_items[i][0]] for i in kept], np.int32)
+        mean_ivec = train_ivecs.mean(axis=0)
+        normed = np.stack([length_normalize(v - mean_ivec) for v in train_ivecs])
+        if verbose:
+            print(f"[ivector] training PLDA on {len(normed)} ivecs / {len(spk_names)} spk")
+        plda = PLDA.train(normed, labels, verbose=verbose)
+
+        if models_dir:
+            os.makedirs(models_dir, exist_ok=True)
+            if use_full_ubm:
+                ubm.save(os.path.join(models_dir, "ubm.npz"))
+                stats_model.save(os.path.join(models_dir, "fubm.npz"))
+            else:
+                ubm.save(os.path.join(models_dir, "ubm.npz"))
+            extractor.save(os.path.join(models_dir, "extractor.npz"))
+            plda.save(os.path.join(models_dir, "plda.npz"))
+            np.save(os.path.join(models_dir, "mean_ivec.npy"), mean_ivec)
+            with open(os.path.join(models_dir, "ivector_models_meta.json"),
+                      "w") as f:
+                json.dump({"use_full_ubm": use_full_ubm,
+                           "num_gauss": num_gauss, "ivec_dim": ivec_dim}, f)
+            if verbose:
+                print(f"[ivector] models saved to {models_dir}")
+
+    # The mixed and no-spoof test dirs stage the SAME real utterances as
+    # separate file copies (generate_test_utterances.py:141-217); cache
+    # per-utterance transformed i-vectors by content hash so each real file
+    # pays MFCC+VAD+stats+extract once across both scoring passes.
+    ivec_cache: Dict[str, Optional[np.ndarray]] = {}
 
     def utterance_ivector(path: str) -> Optional[np.ndarray]:
+        import hashlib
+        with open(path, "rb") as fh:
+            key = hashlib.sha1(fh.read()).hexdigest()
+        if key in ivec_cache:
+            return ivec_cache[key]
         f = mfcc_vad_features(path)
         if len(f) == 0:
-            return None
-        iv = extractor.extract(*stats_model.acc_stats(f))
-        return plda.transform(length_normalize(iv - mean_ivec))
+            vec = None
+        else:
+            iv = extractor.extract(*stats_model.acc_stats(f))
+            vec = plda.transform(length_normalize(iv - mean_ivec))
+        ivec_cache[key] = vec
+        return vec
 
     def score_testdir(d: str, with_index_split: bool = True):
         """Enroll = first enroll_num utts per speaker (split_data_enroll_eval.py),
@@ -552,3 +693,43 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     with open(os.path.join(score_dir, "result.json"), "w") as f:
         json.dump(result, f)
     return result
+
+
+# ----------------------------------------------------------------------
+# Standalone score-file recompute (ivector_eer.sh:30 / ivector_spoofrate.py)
+# ----------------------------------------------------------------------
+
+def read_score_file(path: str) -> List[Tuple[str, str, int, float]]:
+    """Parse ``<espk> <tspk>W<idx> <llr>`` lines (the format
+    ``run_ivector_pipeline`` writes and ``curve.py:27-49`` parses)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 3:
+                continue
+            espk, trial, s = parts
+            out.append((espk, trial[:-4], int(trial[-3:]), float(s)))
+    return out
+
+
+def recompute_eer_from_scores(path: str) -> Tuple[float, float]:
+    """EER + threshold from a saved score file — the reference's
+    ``ivector_eer.sh:30`` (compute-eer on the stored PLDA scores)."""
+    scores = read_score_file(path)
+    tgt = np.asarray([s for e, t, i, s in scores if e == t])
+    non = np.asarray([s for e, t, i, s in scores if e != t])
+    return compute_eer(tgt, non)
+
+
+def spoof_rate_from_scores(path: str, threshold: float, enroll_num: int = 3,
+                           eval_num: int = 20) -> Tuple[float, int]:
+    """Spoof rate at a threshold from a saved mixed score file: target
+    trials whose utterance index exceeds enroll+eval are synthetic
+    (``ivector_spoofrate.py:12-24``). Returns (rate, n_spoof_targets)."""
+    scores = read_score_file(path)
+    spoof = [s for e, t, i, s in scores
+             if e == t and i > enroll_num + eval_num]
+    if not spoof:
+        return 0.0, 0
+    return float(np.mean(np.asarray(spoof) > threshold)), len(spoof)

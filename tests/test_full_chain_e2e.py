@@ -111,13 +111,37 @@ class TestFullReferenceWorkflow:
         from spoofsv_tpu.config import load_config
         from spoofsv_tpu.spoofkit.ivector import run_ivector_pipeline
         cfg2 = load_config(cfg_path)
+        models_dir = os.path.join(work, "ivector_models")
         res = run_ivector_pipeline(cfg2, "e2e", enroll_num=2, eval_num=3,
                                    num_gauss=4, ivec_dim=3, workers=2,
-                                   ubm_frames_cap=20000, verbose=False)
+                                   ubm_frames_cap=20000, verbose=False,
+                                   models_dir=models_dir)
         for k in ("mixed_eer", "clean_eer", "clean_threshold", "spoof_rate"):
             assert np.isfinite(res[k]), (k, res)
-        assert os.path.exists(os.path.join(
-            test_root, "ivector_data", "scores", "plda_scores_mixed.txt"))
+        score_dir = os.path.join(test_root, "ivector_data", "scores")
+        assert os.path.exists(os.path.join(score_dir, "plda_scores_mixed.txt"))
+
+        # second run must reuse the cached models (run.sh [1] semantics):
+        # hide the training wavs — scoring must still succeed and agree.
+        # (moved aside, not deleted: ge2e_data symlinks into ivector_data)
+        train_wavs = os.path.join(test_root, "ivector_data", "wav", "train")
+        os.rename(train_wavs, train_wavs + ".hidden")
+        try:
+            res2 = run_ivector_pipeline(cfg2, "e2e", enroll_num=2, eval_num=3,
+                                        num_gauss=4, ivec_dim=3, workers=2,
+                                        ubm_frames_cap=20000, verbose=False,
+                                        models_dir=models_dir)
+        finally:
+            os.rename(train_wavs + ".hidden", train_wavs)
+        for k in ("mixed_eer", "clean_eer", "clean_threshold", "spoof_rate"):
+            assert res2[k] == pytest.approx(res[k], rel=1e-9), (k, res, res2)
+
+        # standalone EER recompute from the saved score file (ivector_eer.sh)
+        from spoofsv_tpu.spoofkit.ivector import recompute_eer_from_scores
+        eer_ns, thr_ns = recompute_eer_from_scores(
+            os.path.join(score_dir, "plda_scores_nospoof.txt"))
+        assert eer_ns == pytest.approx(res["clean_eer"], rel=1e-9)
+        assert thr_ns == pytest.approx(res["clean_threshold"], rel=1e-9)
 
         # ---- GE2E: preprocess / short train / full evaluation protocol ----
         import dataclasses

@@ -162,6 +162,77 @@ class TestUbmIvectorPlda:
         np.testing.assert_allclose(n1, n2)
         np.testing.assert_allclose(f1, f2)
 
+    def test_extractor_plda_save_load_roundtrip(self, ivec, tmp_path):
+        """Saved extractor/PLDA must reproduce extract/transform/llr exactly
+        (model caching across runs — run.sh first-run-only training)."""
+        rng = np.random.default_rng(9)
+        _, data = synthetic_speakers(rng, n_spk=3, utts=4, frames=150, dim=4,
+                                     n_centers=4)
+        pool = np.concatenate([f for _, f in data])[::2]
+        diag = ivec.UBM.train(pool, 4, iters=2, seed=1)
+        full = ivec.FullUBM.train(diag, pool, iters=1)
+        stats = [full.acc_stats(f) for _, f in data]
+        ext = ivec.IvectorExtractorFull.train(full, stats, ivec_dim=3,
+                                              iters=2, seed=2)
+        p = str(tmp_path / "ext.npz")
+        ext.save(p)
+        back = ivec.IvectorExtractorFull.load(p)
+        for s in stats[:4]:
+            np.testing.assert_allclose(back.extract(*s), ext.extract(*s),
+                                       rtol=1e-12)
+
+        # diag extractor too
+        dstats = [diag.acc_stats(f) for _, f in data]
+        dext = ivec.IvectorExtractor.train(diag, dstats, ivec_dim=3,
+                                           iters=2, seed=2)
+        pd = str(tmp_path / "dext.npz")
+        dext.save(pd)
+        dback = ivec.IvectorExtractor.load(pd)
+        for s in dstats[:4]:
+            np.testing.assert_allclose(dback.extract(*s), dext.extract(*s),
+                                       rtol=1e-12)
+
+        ivecs = np.stack([ext.extract(*s) for s in stats])
+        labels = np.asarray([s for s, _ in data], np.int32)
+        mean = ivecs.mean(0)
+        normed = np.stack([ivec.length_normalize(v - mean) for v in ivecs])
+        plda = ivec.PLDA.train(normed, labels)
+        pp = str(tmp_path / "plda.npz")
+        plda.save(pp)
+        pback = ivec.PLDA.load(pp)
+        t0 = plda.transform(normed[0])
+        np.testing.assert_allclose(pback.transform(normed[0]), t0, rtol=1e-12)
+        t1 = plda.transform(normed[5])
+        assert pback.llr(t0, 2, t1) == pytest.approx(plda.llr(t0, 2, t1),
+                                                     rel=1e-12)
+
+    def test_score_file_recompute(self, ivec, tmp_path):
+        """recompute_eer_from_scores/spoof_rate_from_scores reproduce the
+        in-pipeline computation from the written score format
+        (ivector_eer.sh:30, ivector_spoofrate.py:12-24)."""
+        rng = np.random.default_rng(10)
+        lines = []
+        tgt, non = [], []
+        for espk in ("s01", "s02"):
+            for tspk in ("s01", "s02"):
+                for idx in range(4, 12):
+                    s = rng.normal(3.0 if espk == tspk else -3.0, 1.0)
+                    lines.append(f"{espk} {tspk}W{str(idx).zfill(3)} {s}\n")
+                    (tgt if espk == tspk else non).append(s)
+        p = str(tmp_path / "scores.txt")
+        with open(p, "w") as f:
+            f.writelines(lines)
+        eer, thr = ivec.recompute_eer_from_scores(p)
+        eer2, thr2 = ivec.compute_eer(np.asarray(tgt), np.asarray(non))
+        assert eer == pytest.approx(eer2) and thr == pytest.approx(thr2)
+        # spoof rate: indices > enroll+eval(2+5=7) are synthetic
+        rate, n = ivec.spoof_rate_from_scores(p, threshold=0.0,
+                                              enroll_num=2, eval_num=5)
+        spoof = [s for (espk, t, i, s) in ivec.read_score_file(p)
+                 if espk == t and i > 7]
+        assert n == len(spoof) == 8
+        assert rate == pytest.approx(np.mean(np.asarray(spoof) > 0.0))
+
     def test_eer_known_values(self, ivec):
         target = np.asarray([2.0, 3.0, 4.0, 5.0])
         nontarget = np.asarray([-5.0, -4.0, -3.0, -2.0])
