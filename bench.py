@@ -89,8 +89,19 @@ def main() -> None:
     melsyn_params = jax.jit(melsyn.init)(key, shift_right(mel_example), text, spk)
     ssrn_params = jax.jit(ssrn.init)(key, mel_example)
 
+    # --mesh N: data-parallel synthesis over an N-device mesh (batch sharded
+    # over ICI; params replicated). Per-chip realtime divides by N.
+    mesh = None
+    n_chips = 1
+    if "--mesh" in sys.argv:
+        from spoofsv_tpu.parallel.mesh import make_mesh
+
+        n_chips = int(sys.argv[sys.argv.index("--mesh") + 1])
+        mesh = make_mesh(n_chips)
+
     syn = Synthesizer(cfg, melsyn, ssrn, melsyn_params, ssrn_params,
-                      n_frames=T, gl_iters=cfg.tpu.griffin_lim_iters)
+                      n_frames=T, gl_iters=cfg.tpu.griffin_lim_iters,
+                      mesh=mesh)
 
     def run(k):
         audio, mel, attn = syn(text, spk, k)
@@ -112,7 +123,7 @@ def main() -> None:
     assert acc > 0
 
     audio_seconds = audio.shape[0] * audio.shape[1] / cfg.sampling_rate
-    rtf_per_chip = audio_seconds / dt / max(1, 1)  # single-chip bench
+    rtf_per_chip = audio_seconds / dt / n_chips
     target = 50.0
     print(json.dumps({
         "metric": "synthesized_audio_sec_per_sec_per_chip",
@@ -125,6 +136,7 @@ def main() -> None:
             "wall_s_per_batch": round(dt, 3),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "n_chips": n_chips,
         },
     }))
 

@@ -19,6 +19,10 @@ def main(argv=None) -> None:
     ps.add_argument("--feat", choices=["mel", "lin"], default="mel")
     ps.add_argument("--max_iterations", type=int, default=None)
     ps.add_argument("--save_interval", type=int, default=1000)
+    ps.add_argument("--bonafide_cap", type=int, default=20000,
+                    help="TTS-train-list utterances used as train bonafide; "
+                         "the remainder becomes the dev bonafide side "
+                         "(anti_spoofing/spoof_conv1d.py:9-68 uses 20k)")
     args = ps.parse_args(argv)
 
     import jax
@@ -50,7 +54,8 @@ def main(argv=None) -> None:
                          mid_dim=8, extra_stage=(args.variant == "v2"),
                          sigmoid_out=True)
 
-    source = ASVspoofSource(cfg, args.step, args.time)
+    source = ASVspoofSource(cfg, args.step, args.time,
+                            bonafide_cap=args.bonafide_cap)
     print(f"{args.step}: {len(source)} utterances "
           f"({int(source.labels.sum())} bonafide)")
     init_fn, step_fn, score_fn = make_cm_train_step(model)

@@ -22,6 +22,11 @@ def main(argv=None) -> None:
     ps.add_argument("--model_path", type=str, default=None)
     ps.add_argument("--epochs", type=int, default=None)
     ps.add_argument("--out_dir", type=str, default=".")
+    ps.add_argument("--nospoof_data", type=str, default=None,
+                    help="glob over the staged real-only test_nospoof copy "
+                         "(e.g. <test_root>/ivector_data/test_nospoof/*/*.wav); "
+                         "runs the reference's second test_nospoof pass for "
+                         "the clean threshold instead of the slice fast path")
     args = ps.parse_args(argv)
 
     from spoofsv_tpu.config import GE2EConfig
@@ -43,7 +48,8 @@ def main(argv=None) -> None:
         from spoofsv_tpu.spoofkit.ge2e_harness import run_ge2e_evaluation
 
         run_ge2e_evaluation(ge2e, args.enroll_num, args.eval_num,
-                            model_path=args.model_path, epochs=args.epochs)
+                            model_path=args.model_path, epochs=args.epochs,
+                            nospoof_data=args.nospoof_data)
     elif args.command == "dvector":
         import jax
 

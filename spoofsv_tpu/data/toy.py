@@ -13,7 +13,7 @@ guided-attention loss shapes on real VCTK), and the whole real pipeline —
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -33,8 +33,16 @@ def _char_freq(ch: str) -> float:
 
 
 def synth_sentence(text: str, sr: int, speaker_scale: float,
-                   rng: np.random.Generator) -> np.ndarray:
-    """Render a sentence: per-char 3-harmonic tones with a Hann envelope."""
+                   rng: np.random.Generator,
+                   harmonics: Optional[Sequence[float]] = None) -> np.ndarray:
+    """Render a sentence: per-char harmonic tones with a Hann envelope.
+
+    ``harmonics`` is the per-harmonic amplitude profile (index h-1 is the
+    weight of harmonic h); it is the speaker's timbre. The default keeps the
+    original 3-harmonic ``0.5/h`` profile.
+    """
+    if harmonics is None:
+        harmonics = [0.5 / h for h in (1, 2, 3)]
     seg = int(CHAR_SECONDS * sr)
     env = np.hanning(seg).astype(np.float32)
     t = np.arange(seg) / sr
@@ -45,8 +53,8 @@ def synth_sentence(text: str, sr: int, speaker_scale: float,
             out.append(np.zeros(seg, np.float32))
             continue
         f = f * speaker_scale
-        y = sum((0.5 / h) * np.sin(2 * np.pi * f * h * t + rng.uniform(0, 6))
-                for h in (1, 2, 3))
+        y = sum(w * np.sin(2 * np.pi * f * h * t + rng.uniform(0, 6))
+                for h, w in enumerate(harmonics, start=1))
         out.append((y * env).astype(np.float32))
     sig = np.concatenate(out) if out else np.zeros(seg, np.float32)
     return 0.6 * sig / max(1e-6, np.abs(sig).max())
@@ -68,11 +76,20 @@ def random_sentence(rng: np.random.Generator, min_chars: int = 10,
 def generate_toy_corpus(data_root: str, spk_emb_dir: str,
                         n_speakers: int = 4, utts_per_spk: int = 40,
                         sr: int = 22050, spk_emb_dim: int = 200,
-                        seed: int = 0, verbose: bool = False) -> List[str]:
+                        seed: int = 0, verbose: bool = False,
+                        min_chars: int = 10, max_chars: int = 24,
+                        rich_speakers: bool = False) -> List[str]:
     """Write wav48/<spk>/*.wav + txt/<spk>/*.txt + spk_emb/<spk>.npy.
 
     Returns the speaker names. Layout matches what
     :func:`spoofsv_tpu.data.vctk.prepare_vctk` consumes.
+
+    ``rich_speakers=True`` gives every speaker an individual voice — a pitch
+    scale in [0.8, 1.35] plus a random 6-harmonic timbre profile — instead of
+    the default ``0.85 + 0.12·k`` pitch ladder (which aliases past ~5
+    speakers). Rich voices keep all partials below Nyquist for any
+    ``n_speakers`` and make speakers separable by spectral envelope, which is
+    what a speaker-verification attack study needs.
     """
     rng = np.random.default_rng(seed)
     speakers = [f"p9{str(k).zfill(2)}" for k in range(n_speakers)]
@@ -84,10 +101,16 @@ def generate_toy_corpus(data_root: str, spk_emb_dir: str,
         os.makedirs(txt_dir, exist_ok=True)
         emb = rng.normal(size=(spk_emb_dim,)).astype(np.float32)
         np.save(os.path.join(spk_emb_dir, spk + ".npy"), emb)
-        scale = 0.85 + 0.12 * k
+        if rich_speakers:
+            scale = float(0.8 + 0.55 * rng.random())
+            harmonics = rng.uniform(0.08, 1.0, 6)
+            harmonics = (harmonics / harmonics.sum()).tolist()
+        else:
+            scale = 0.85 + 0.12 * k
+            harmonics = None
         for i in range(utts_per_spk):
-            text = random_sentence(rng)
-            y = synth_sentence(text, sr, scale, rng)
+            text = random_sentence(rng, min_chars, max_chars)
+            y = synth_sentence(text, sr, scale, rng, harmonics=harmonics)
             stem = f"{spk}_{str(i + 1).zfill(3)}"
             dsp_host.write_wav(os.path.join(wav_dir, stem + ".wav"), y, sr)
             with open(os.path.join(txt_dir, stem + ".txt"), "w") as f:

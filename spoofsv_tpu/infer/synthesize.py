@@ -91,14 +91,31 @@ def finalize_audio(audio: np.ndarray, cfg: Config, trim_db: Optional[float] = No
 
 
 class Synthesizer:
-    """End-to-end batched TTS: (text_ids, spk_emb) → waveforms."""
+    """End-to-end batched TTS: (text_ids, spk_emb) → waveforms.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel synthesis —
+    params are replicated, the batch axis is sharded over the mesh's
+    ``data`` axis, and XLA propagates the sharding through the whole fused
+    decode→SSRN→Griffin-Lim program (every op is per-sample, so scale-out is
+    collective-free; the reference's inference analog is the DataParallel
+    wrap at ``synthesize.py:75-77``). Batch size must be divisible by the
+    data-axis size.
+    """
 
     def __init__(self, cfg: Config, melsyn: MelSyn, ssrn: SSRN,
                  melsyn_params, ssrn_params, n_frames: Optional[int] = None,
-                 gl_iters: Optional[int] = None):
+                 gl_iters: Optional[int] = None, mesh=None):
         self.cfg = cfg
         self.melsyn = melsyn
         self.ssrn = ssrn
+        self.mesh = mesh
+        if mesh is not None:
+            from spoofsv_tpu.parallel.mesh import (batch_sharding,
+                                                   replicate_tree, replicated)
+            melsyn_params = replicate_tree(melsyn_params, mesh)
+            ssrn_params = replicate_tree(ssrn_params, mesh)
+            self._batch_sh = batch_sharding(mesh)
+            self._rep = replicated(mesh)
         self.melsyn_params = melsyn_params
         self.ssrn_params = ssrn_params
         self.n_frames = n_frames or cfg.max_frame_num
@@ -124,5 +141,9 @@ class Synthesizer:
     def __call__(self, text_ids: Array, spk_emb: Array, key: Array
                  ) -> Tuple[Array, Array, Array]:
         """Returns (audio (B, L), coarse_mel (B, T, 80), attention (B, N, T))."""
+        if self.mesh is not None:
+            text_ids = jax.device_put(jnp.asarray(text_ids), self._batch_sh)
+            spk_emb = jax.device_put(jnp.asarray(spk_emb), self._batch_sh)
+            key = jax.device_put(key, self._rep)
         return self._full(self.melsyn_params, self.ssrn_params, text_ids,
                           spk_emb, key)

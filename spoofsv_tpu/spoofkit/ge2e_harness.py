@@ -405,15 +405,53 @@ def spoof_rate_at_threshold(sim: np.ndarray, threshold: float,
                  / (2 * eval_num) / n)
 
 
+def preprocess_nospoof_tisv(ge2e: GE2EConfig, nospoof_glob: str,
+                            enroll_num: int, eval_num: int,
+                            out_path: Optional[str] = None,
+                            seed: Optional[int] = None,
+                            verbose: bool = True) -> str:
+    """Preprocess the staged real-only ``test_nospoof`` copy into its own TISV
+    directory (the reference's second ``data_preprocess.py`` pass feeding
+    ``test_nospoof`` — ``GE2E/train_speech_embedder.py:205-298``).
+
+    Every speaker is a test speaker with ``enroll+eval`` real utterances, so
+    the crop layout is ``2·(enroll+eval)`` real crops in sorted-name order —
+    the same order the mixed staging puts its real crops in.
+    """
+    import dataclasses
+
+    out = out_path or (ge2e.data.test_path.rstrip("/") + "_nospoof")
+    ns_cfg = dataclasses.replace(
+        ge2e, unprocessed_data=nospoof_glob,
+        data=dataclasses.replace(ge2e.data, test_path=out))
+    save_spectrogram_tisv(ns_cfg, train_spk_num=0,
+                          enroll_num=enroll_num + eval_num, eval_num=0,
+                          seed=seed, verbose=verbose)
+    return out
+
+
 def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
                         eval_num: int = 20, model_path: Optional[str] = None,
-                        epochs: Optional[int] = None, verbose: bool = True
-                        ) -> Dict[str, float]:
+                        epochs: Optional[int] = None, verbose: bool = True,
+                        nospoof_data: Optional[str] = None,
+                        nospoof_test_path: Optional[str] = None,
+                        seed: Optional[int] = None) -> Dict[str, float]:
     """Full reference evaluation protocol (``train_speech_embedder.py:300-322``):
     mixed test (EER + SR-at-EER), no-spoof test (clean threshold), then the
-    final average spoof rate of saved mixed simmats at the clean threshold."""
-    import jax
+    final average spoof rate of saved mixed simmats at the clean threshold.
 
+    The no-spoof threshold comes from one of two equivalent formulations:
+
+    * **staged** (``nospoof_data`` = glob over the staged ``test_nospoof``
+      copy, e.g. ``<test_root>/ivector_data/test_nospoof/*/*.wav``): the copy
+      gets its own TISV preprocess + similarity matrices, exactly like the
+      reference's second ``test_nospoof`` pass;
+    * **slice** (default fast path): the first ``2·eval_num`` verification
+      rows of the mixed simmat — numerically identical when the staging puts
+      real crops first (it does: real utterances get the low ``W###``
+      indices, ``spoofgen.py``), which the staged/slice equivalence test
+      asserts.
+    """
     from spoofsv_tpu.models.ge2e import SpeechEmbedder
 
     embedder = SpeechEmbedder(hidden=ge2e.model.hidden,
@@ -428,7 +466,7 @@ def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
     n_epochs = epochs or ge2e.test.epochs
     simmats = []
     mixed_results = []
-    clean_thresholds = []
+    slice_thresholds = []
     for e in range(n_epochs):
         for bi, batch in enumerate(batcher.ordered_batches(ge2e.test.N)):
             sim = build_sim_matrix(embedder, params, batch, enroll_num)
@@ -437,18 +475,36 @@ def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
             simmats.append(sim)
             r = eer_sweep(sim, enroll_num, with_spoof=True)
             mixed_results.append(r)
-            # no-spoof pass: only the first 2·eval real verification rows
+            # slice formulation: the first 2·eval real verification rows
             r_ns = eer_sweep(sim[:, : 2 * eval_num], enroll_num,
                              with_spoof=False)
-            clean_thresholds.append(r_ns["thresh"])
+            slice_thresholds.append(r_ns["thresh"])
             if verbose:
                 print(f"epoch {e+1} batch {bi+1}: EER={r['EER']:.4f} "
                       f"(thres {r['thresh']:.2f}) clean-thres {r_ns['thresh']:.2f}")
+
+    staged_thresholds: List[float] = []
+    if nospoof_data is not None:
+        ns_path = preprocess_nospoof_tisv(ge2e, nospoof_data, enroll_num,
+                                          eval_num, out_path=nospoof_test_path,
+                                          seed=seed, verbose=verbose)
+        ns_batcher = SpeakerBatcher(ns_path, 2 * (enroll_num + eval_num),
+                                    shuffle=False)
+        for e in range(n_epochs):
+            for bi, batch in enumerate(ns_batcher.ordered_batches(ge2e.test.N)):
+                sim_ns = build_sim_matrix(embedder, params, batch, enroll_num)
+                r_ns = eer_sweep(sim_ns, enroll_num, with_spoof=False)
+                staged_thresholds.append(r_ns["thresh"])
+                if verbose:
+                    print(f"nospoof epoch {e+1} batch {bi+1}: "
+                          f"EER={r_ns['EER']:.4f} thres {r_ns['thresh']:.2f}")
+
     avg_eer = float(np.mean([r["EER"] for r in mixed_results]))
-    clean_thres = float(np.mean(clean_thresholds))
+    clean_thres = float(np.mean(staged_thresholds or slice_thresholds))
     final_sr = float(np.mean([
         spoof_rate_at_threshold(s, clean_thres, eval_num) for s in simmats]))
     result = {"EER": avg_eer, "clean_threshold": clean_thres,
+              "clean_threshold_slice": float(np.mean(slice_thresholds)),
               "spoof_rate": final_sr,
               "spoof_rate_at_eer": float(np.mean(
                   [r["spoof_rate"] for r in mixed_results])),

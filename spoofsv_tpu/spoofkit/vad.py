@@ -2,39 +2,57 @@
 
 The reference depends on the webrtcvad C extension (``GE2E/VAD_segments.py``):
 a frame generator, a 90 %-ring-buffer trigger collector, and 0.4 s chunking of
-voiced segments. This re-implementation keeps the collector semantics (trigger
-on ≥90 % voiced frames in a sliding window, release on ≥90 % unvoiced) on top
-of an adaptive energy frame classifier, so `dvector_create` runs without the
-native wheel.
+voiced segments. This module transcribes the *collector and chunker exactly*
+(``VAD_segments.py:47-150``: deque(maxlen) ring buffer, trigger on
+``num_voiced > 0.9·maxlen``, ring cleared on trigger, detrigger on
+``num_unvoiced > 0.9·maxlen``, leftover yield, 2-decimal rounded 0.4 s
+chunking with the while/else tail) and swaps only the per-frame classifier:
+an adaptive energy detector by default, or webrtcvad itself via
+``classifier=`` / ``scripts/compare_vad_webrtc.py`` when the wheel is
+available. The collector parity is golden-tested against a direct
+transcription under randomized frame decisions
+(``tests/test_spoofkit.py::TestVadCollectorParity``).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from collections import deque
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
+Classifier = Callable[[np.ndarray, int, int], np.ndarray]
+
 
 def frame_generator(y: np.ndarray, sr: int, frame_ms: int = 20):
-    """Yield (start_sample, frame) tuples of ``frame_ms`` frames
-    (``GE2E/VAD_segments.py:47-60``)."""
+    """Yield (start_sample, frame) tuples of ``frame_ms`` frames.
+
+    Matches ``GE2E/VAD_segments.py:47-60`` including the strict
+    ``offset + n < len`` cutoff (an exact-multiple signal drops its final
+    frame).
+    """
     n = int(sr * frame_ms / 1000)
     offset = 0
-    while offset + n <= len(y):
+    while offset + n < len(y):
         yield offset, y[offset: offset + n]
         offset += n
 
 
-def _energy_voiced_flags(y: np.ndarray, sr: int, frame_ms: int = 20,
-                         aggressiveness: int = 2) -> Tuple[np.ndarray, int]:
-    """Energy-based per-frame voiced decision with an adaptive threshold.
+def _num_frames(n_samples: int, n: int) -> int:
+    """Frame count under the reference's strict ``offset + n < len`` rule."""
+    return max(0, (n_samples - 1) // n)
+
+
+def energy_classifier(y: np.ndarray, sr: int, frame_ms: int = 20,
+                      aggressiveness: int = 2) -> np.ndarray:
+    """Energy-based per-frame voiced decisions with an adaptive threshold.
 
     aggressiveness 0..3 scales the threshold like webrtcvad's modes (higher =
     stricter = fewer voiced frames)."""
     n = int(sr * frame_ms / 1000)
-    n_frames = len(y) // n
+    n_frames = _num_frames(len(y), n)
     if n_frames == 0:
-        return np.zeros(0, bool), n
+        return np.zeros(0, bool)
     frames = y[: n_frames * n].reshape(n_frames, n)
     e = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1) + 1e-12)
     log_e = 20 * np.log10(e + 1e-12)
@@ -47,50 +65,84 @@ def _energy_voiced_flags(y: np.ndarray, sr: int, frame_ms: int = 20,
     else:
         frac = 0.25 + 0.15 * aggressiveness
         thresh = floor + frac * (peak - floor)
-    return log_e >= thresh, n
+    return log_e >= thresh
 
 
-def vad_collector(y: np.ndarray, sr: int, frame_ms: int = 20,
-                  padding_ms: int = 200, aggressiveness: int = 2
-                  ) -> List[Tuple[int, int]]:
-    """Collect voiced (start, end) sample ranges with webrtc-style 90 %
-    ring-buffer hysteresis (``GE2E/VAD_segments.py:63-130``)."""
-    flags, n = _energy_voiced_flags(y, sr, frame_ms, aggressiveness)
-    num_padding = max(1, padding_ms // frame_ms)
-    ring: List[Tuple[int, bool]] = []
+def collect_from_flags(flags: np.ndarray, n: int,
+                       num_padding: int) -> List[Tuple[int, int]]:
+    """The webrtc demo collector on precomputed frame decisions — a direct
+    transcription of ``GE2E/VAD_segments.py:63-130``.
+
+    ``flags[i]`` is frame i's voiced decision; returns (start, end) sample
+    ranges (frame timestamps × ``n`` samples/frame).
+    """
+    ring: deque = deque(maxlen=num_padding)
     triggered = False
     segments: List[Tuple[int, int]] = []
     start = 0
-    for i, voiced in enumerate(flags):
-        ring.append((i, bool(voiced)))
-        if len(ring) > num_padding:
-            ring.pop(0)
+    n_voiced_collected = 0
+    i = -1
+    for i, voiced in enumerate(map(bool, flags)):
         if not triggered:
-            if sum(1 for _, v in ring if v) > 0.9 * len(ring) and len(ring) == num_padding:
+            ring.append((i, voiced))
+            num_voiced = sum(1 for _, v in ring if v)
+            if num_voiced > 0.9 * num_padding:
                 triggered = True
                 start = ring[0][0] * n
+                n_voiced_collected += len(ring)
+                ring.clear()
         else:
-            if sum(1 for _, v in ring if not v) > 0.9 * len(ring):
+            n_voiced_collected += 1
+            ring.append((i, voiced))
+            num_unvoiced = sum(1 for _, v in ring if not v)
+            if num_unvoiced > 0.9 * num_padding:
                 triggered = False
                 segments.append((start, (i + 1) * n))
-                ring = []
-    if triggered:
-        segments.append((start, len(flags) * n))
+                ring.clear()
+                n_voiced_collected = 0
+    if n_voiced_collected:
+        segments.append((start, (i + 1) * n))
     return segments
 
 
+def vad_collector(y: np.ndarray, sr: int, frame_ms: int = 20,
+                  padding_ms: int = 200, aggressiveness: int = 2,
+                  classifier: Optional[Classifier] = None
+                  ) -> List[Tuple[int, int]]:
+    """Collect voiced (start, end) sample ranges with webrtc-style 90 %
+    ring-buffer hysteresis (``GE2E/VAD_segments.py:63-130``)."""
+    n = int(sr * frame_ms / 1000)
+    if classifier is None:
+        flags = energy_classifier(y, sr, frame_ms, aggressiveness)
+    else:
+        flags = classifier(y, sr, frame_ms)
+    num_padding = int(padding_ms / frame_ms)
+    return collect_from_flags(flags, n, num_padding)
+
+
 def vad_chunk(y: np.ndarray, sr: int, chunk_s: float = 0.4,
-              aggressiveness: int = 2) -> Tuple[List[np.ndarray], List[Tuple[float, float]]]:
+              aggressiveness: int = 2,
+              classifier: Optional[Classifier] = None
+              ) -> Tuple[List[np.ndarray], List[Tuple[float, float]]]:
     """Voiced audio split into ≤``chunk_s`` pieces with their time spans —
-    the shape `dvector_create` consumes (``GE2E/VAD_segments.py:132-150``)."""
-    segments = vad_collector(y, sr, aggressiveness=aggressiveness)
+    the shape `dvector_create` consumes.
+
+    Matches ``GE2E/VAD_segments.py:132-150``: segment times rounded to 2
+    decimals, fixed ``chunk_s`` strides, and the while/else tail chunk.
+    """
+    segments = vad_collector(y, sr, aggressiveness=aggressiveness,
+                             classifier=classifier)
     chunks, spans = [], []
-    step = int(chunk_s * sr)
     for s, e in segments:
-        for cs in range(s, e, step):
-            ce = min(cs + step, e)
-            if ce - cs < int(0.02 * sr):
-                continue
-            chunks.append(y[cs:ce])
-            spans.append((cs / sr, ce / sr))
+        start = float(np.round(s / sr, 2))
+        end = float(np.round(e / sr, 2))
+        j = start
+        while j + chunk_s < end:
+            ej = float(np.round(j + chunk_s, 2))
+            chunks.append(y[int(j * sr): int(ej * sr)])
+            spans.append((j, ej))
+            j = ej
+        if end - j > 1e-9:
+            chunks.append(y[int(j * sr): int(end * sr)])
+            spans.append((j, end))
     return chunks, spans

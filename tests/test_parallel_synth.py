@@ -1,0 +1,76 @@
+"""Data-parallel synthesis on the 8-device CPU mesh.
+
+The inference analog of the reference's DataParallel wrap
+(``synthesize.py:75-77``): batch sharded over the mesh's ``data`` axis,
+params replicated, the whole fused decode→SSRN→Griffin-Lim program
+propagating the sharding with no collectives (every op is per-sample).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.infer.synthesize import Synthesizer
+from spoofsv_tpu.models import MelSyn, SSRN
+from spoofsv_tpu.parallel.mesh import make_mesh
+from spoofsv_tpu.train.steps import shift_right
+
+
+def _tiny_setup(B=8, N=12, T=8):
+    cfg = Config().replace(hidden_dim=16, text_emb_dim=8, ssrn_dim=16,
+                           spk_emb_dim=10)
+    dt = jnp.float32
+    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
+                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                    dtype=dt)
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim, dtype=dt)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (B, N)), jnp.int32)
+    spk = jnp.asarray(rng.normal(size=(B, cfg.spk_emb_dim)), jnp.float32)
+    mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (B, 4, cfg.mel.freq_bins)),
+                         jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p1 = melsyn.init(key, shift_right(mel_ex), text, spk)
+    p2 = ssrn.init(key, mel_ex)
+    return cfg, melsyn, ssrn, p1, p2, text, spk, T
+
+
+class TestDataParallelSynthesizer:
+    def test_sharded_matches_single_device(self):
+        cfg, melsyn, ssrn, p1, p2, text, spk, T = _tiny_setup()
+        key = jax.random.PRNGKey(7)
+
+        single = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T, gl_iters=3)
+        a0, m0, at0 = single(text, spk, key)
+
+        mesh = make_mesh(8)
+        sharded = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T,
+                              gl_iters=3, mesh=mesh)
+        a1, m1, at1 = sharded(text, spk, key)
+
+        # batch actually sharded: one row per device
+        assert len(a1.sharding.device_set) == 8
+        shard_rows = {s.data.shape[0] for s in a1.addressable_shards}
+        assert shard_rows == {1}
+
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(at0), np.asarray(at1),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_bench_mesh_flag_throughput_smoke(self):
+        """The --mesh bench path: repeated sharded batches execute and
+        return finite audio (throughput measured on real multi-chip HW)."""
+        cfg, melsyn, ssrn, p1, p2, text, spk, T = _tiny_setup(B=16)
+        mesh = make_mesh(8)
+        syn = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T,
+                          gl_iters=2, mesh=mesh)
+        for i in range(3):
+            audio, _, _ = syn(text, spk, jax.random.PRNGKey(i))
+            chk = float(jnp.sum(jnp.abs(audio)))
+            assert np.isfinite(chk) and chk > 0

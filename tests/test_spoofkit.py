@@ -143,3 +143,174 @@ class TestDvector:
         a = align_embeddings(e)
         assert a.shape == (4, 2)
         np.testing.assert_allclose(a[0], e[:2].mean(0))
+
+
+class TestNospoofStagedEquivalence:
+    """The staged test_nospoof pass (own preprocess + simmat,
+    GE2E/train_speech_embedder.py:205-298) must agree with the slice fast
+    path (first 2·eval rows of the mixed simmat) on staged data, where the
+    real crops come first by construction (spoofgen W### naming)."""
+
+    def test_staged_matches_slice(self, tmp_path):
+        import dataclasses
+        import os
+
+        import jax
+
+        from spoofsv_tpu.config import GE2EConfig
+        from spoofsv_tpu.dsp import host as dsp_host
+        from spoofsv_tpu.models.ge2e import SpeechEmbedder
+        from spoofsv_tpu.spoofkit import ge2e_harness as gh
+
+        sr = 16000
+        enroll, ev = 1, 2
+        n_real, n_spoof = enroll + ev, ev
+        work = str(tmp_path)
+        mixed_root = os.path.join(work, "ge2e_data")
+        ns_root = os.path.join(work, "test_nospoof")
+        t = np.arange(int(1.6 * sr)) / sr
+        for s, sid in enumerate(("901", "902")):
+            os.makedirs(os.path.join(mixed_root, sid))
+            os.makedirs(os.path.join(ns_root, sid))
+            for j in range(n_real + n_spoof):
+                f = 300.0 + 150 * s + 37 * j
+                y = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+                name = f"{sid}W{str(j + 1).zfill(3)}.wav"
+                dsp_host.write_wav(os.path.join(mixed_root, sid, name), y, sr)
+                if j < n_real:
+                    dsp_host.write_wav(os.path.join(ns_root, sid, name), y, sr)
+
+        ge2e = GE2EConfig()
+        ge2e = dataclasses.replace(
+            ge2e,
+            unprocessed_data=os.path.join(mixed_root, "*", "*.wav"),
+            save_simmat_dir=os.path.join(work, "simmat"),
+            data=dataclasses.replace(
+                ge2e.data, train_path=os.path.join(work, "tisv_train"),
+                test_path=os.path.join(work, "tisv_test")),
+            model=dataclasses.replace(ge2e.model, hidden=8, num_layer=1,
+                                      proj=4),
+            test=dataclasses.replace(ge2e.test, N=2,
+                                     M=2 * (n_real + n_spoof), epochs=1))
+        gh.save_spectrogram_tisv(ge2e, train_spk_num=0, enroll_num=n_real,
+                                 eval_num=n_spoof, seed=0, verbose=False)
+
+        # data-level equivalence: the staged copy's crops ARE the first
+        # 2·(enroll+eval) crops of the mixed preprocess, in the same order
+        ns_path = gh.preprocess_nospoof_tisv(
+            ge2e, os.path.join(ns_root, "*", "*.wav"), enroll, ev,
+            seed=0, verbose=False)
+        for k in range(2):
+            mixed = np.load(os.path.join(ge2e.data.test_path,
+                                         f"speaker{k}.npy"))
+            staged = np.load(os.path.join(ns_path, f"speaker{k}.npy"))
+            np.testing.assert_array_equal(mixed[: 2 * n_real], staged)
+
+        embedder = SpeechEmbedder(hidden=8, num_layers=1, proj=4)
+        import jax.numpy as jnp
+        params = {"embedder": embedder.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, ge2e.data.tisv_frame,
+                                              ge2e.data.nmels)))}
+        ck = os.path.join(work, "emb.npz")
+        gh._save_ge2e_ckpt(params, work, "emb.npz")
+
+        res = gh.run_ge2e_evaluation(
+            ge2e, enroll_num=enroll, eval_num=ev, model_path=ck,
+            epochs=1, verbose=False,
+            nospoof_data=os.path.join(ns_root, "*", "*.wav"), seed=0)
+        # identical crops → identical sims up to batch-shape float rounding;
+        # thresholds may differ by at most one 0.01 sweep step (the reference
+        # has the same property: test_nospoof re-embeds the same data)
+        assert abs(res["clean_threshold"]
+                   - res["clean_threshold_slice"]) <= 0.0100001
+        for k in ("EER", "spoof_rate", "gt_FRR"):
+            assert np.isfinite(res[k])
+
+        # slice-only fast path: same mixed metrics, slice threshold
+        res_slice = gh.run_ge2e_evaluation(
+            ge2e, enroll_num=enroll, eval_num=ev, model_path=ck,
+            epochs=1, verbose=False)
+        assert res_slice["clean_threshold"] == res["clean_threshold_slice"]
+        assert res_slice["EER"] == res["EER"]
+
+
+class TestVadCollectorParity:
+    """collect_from_flags is an exact transcription of the reference's
+    ring-buffer collector (GE2E/VAD_segments.py:63-130): golden-test it
+    against a direct deque/Frame re-enactment under randomized frame
+    decisions, so the only VAD divergence left is the frame classifier
+    itself (webrtcvad GMM vs our energy detector)."""
+
+    @staticmethod
+    def _reference_collector(flags, frame_s, num_padding):
+        import collections
+
+        class Frame:
+            def __init__(self, timestamp, duration):
+                self.timestamp = timestamp
+                self.duration = duration
+
+        frames = [Frame(i * frame_s, frame_s) for i in range(len(flags))]
+        ring_buffer = collections.deque(maxlen=num_padding)
+        triggered = False
+        voiced_frames = []
+        out = []
+        start = None
+        frame = None
+        for frame, is_speech in zip(frames, flags):
+            if not triggered:
+                ring_buffer.append((frame, is_speech))
+                num_voiced = len([f for f, s in ring_buffer if s])
+                if num_voiced > 0.9 * ring_buffer.maxlen:
+                    triggered = True
+                    start = ring_buffer[0][0].timestamp
+                    for f, s in ring_buffer:
+                        voiced_frames.append(f)
+                    ring_buffer.clear()
+            else:
+                voiced_frames.append(frame)
+                ring_buffer.append((frame, is_speech))
+                num_unvoiced = len([f for f, s in ring_buffer if not s])
+                if num_unvoiced > 0.9 * ring_buffer.maxlen:
+                    triggered = False
+                    out.append((start, frame.timestamp + frame.duration))
+                    ring_buffer.clear()
+                    voiced_frames = []
+        if voiced_frames:
+            out.append((start, frame.timestamp + frame.duration))
+        return out
+
+    def test_randomized_flag_sequences(self):
+        from spoofsv_tpu.spoofkit.vad import collect_from_flags
+
+        rng = np.random.default_rng(0)
+        n = 320                      # 20 ms @ 16 kHz
+        frame_s = 0.02
+        for trial in range(200):
+            num_padding = int(rng.integers(2, 14))
+            length = int(rng.integers(0, 120))
+            p_voiced = rng.uniform(0.2, 0.9)
+            flags = rng.random(length) < p_voiced
+            got = collect_from_flags(flags, n, num_padding)
+            want = self._reference_collector(flags.tolist(), frame_s,
+                                             num_padding)
+            want_samples = [(int(round(s / frame_s)) * n,
+                             int(round(e / frame_s)) * n) for s, e in want]
+            assert got == want_samples, (trial, num_padding, length)
+
+    def test_structured_sequences(self):
+        from spoofsv_tpu.spoofkit.vad import collect_from_flags
+
+        cases = [
+            [],                                  # empty
+            [True] * 30,                         # always voiced → leftover
+            [False] * 30,                        # never voiced
+            [True] * 12 + [False] * 12,          # one island, detrigger
+            [False] * 5 + [True] * 10 + [False] * 12 + [True] * 10,
+        ]
+        for flags in cases:
+            got = collect_from_flags(np.asarray(flags, bool), 320, 10)
+            want = self._reference_collector(flags, 0.02, 10)
+            want_samples = [(int(round(s / 0.02)) * 320,
+                             int(round(e / 0.02)) * 320) for s, e in want]
+            assert got == want_samples, flags
