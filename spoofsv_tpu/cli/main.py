@@ -41,7 +41,10 @@ def build_models(cfg, pattern: str, dtype=None):
 
 
 def run_training(args, cfg, spec_dir: Optional[str]) -> None:
-    from spoofsv_tpu.data.pipeline import BucketedLoader, TTSDataSource
+    import jax
+
+    from spoofsv_tpu.data.pipeline import (BucketedLoader, DeviceReplayLoader,
+                                           TTSDataSource)
     from spoofsv_tpu.train.loop import Trainer
 
     melsyn, ssrn, mel_disc, lin_disc = build_models(cfg, args.pattern)
@@ -63,9 +66,23 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
                       ctime=args.current_time, use_masks=args.masked_loss,
                       metrics_every=args.metrics_every)
 
-    def train_loader():
-        return BucketedLoader(train_src, cfg.batch_size, with_lin=with_lin,
-                              shuffle=True, seed=trainer.epoch)
+    use_device_data = (args.device_data == "on" or
+                       (args.device_data == "auto"
+                        and jax.default_backend() != "cpu"))
+    if use_device_data:
+        # remote-TPU transports pay multiple RPC round-trips + MBs of upload
+        # per step; keep the whole (bucket-padded) dataset device-resident
+        # and gather batches on device instead.
+        device_loader = DeviceReplayLoader(train_src, cfg.batch_size,
+                                           with_lin=with_lin, shuffle=True,
+                                           seed=0)
+
+        def train_loader():
+            return device_loader
+    else:
+        def train_loader():
+            return BucketedLoader(train_src, cfg.batch_size, with_lin=with_lin,
+                                  shuffle=True, seed=trainer.epoch)
 
     def val_loader():
         return BucketedLoader(val_src, 8, with_lin=with_lin, shuffle=False)
@@ -169,6 +186,11 @@ def main(argv=None) -> None:
     ps.add_argument("--masked_loss", action="store_true",
                     help="exclude padded frames from losses (reference averages over pads)")
     ps.add_argument("--max_iterations", type=int, default=None)
+    ps.add_argument("--device_data", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="keep the bucket-padded dataset device-resident and "
+                         "gather batches on device (auto: on for non-CPU "
+                         "backends; essential on tunneled TPU transports)")
     ps.add_argument("--metrics_every", type=int, default=1,
                     help="fetch/log train metrics every N iterations "
                          "(device->host fetches sync the stream; >1 lets "

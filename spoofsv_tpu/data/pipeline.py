@@ -205,3 +205,71 @@ class BucketedLoader:
                     chunk = pool[i: i + self.batch_size]
                     if chunk:
                         yield pad_batch(chunk, cfg, self.with_lin)
+
+
+class DeviceReplayLoader:
+    """Device-resident bucketed dataset for remote-TPU transports.
+
+    ``BucketedLoader`` re-uploads every batch host→device; through a
+    tunneled TPU backend those per-step transfers (multiple RPCs + MBs of
+    feature data per iteration) dominate the step time by an order of
+    magnitude. This loader pads every example to its bucket shape once,
+    uploads each bucket group's stacked arrays to the device in one
+    transfer, and assembles per-epoch shuffled batches *on device* with a
+    single jitted gather — zero per-step host→device feature traffic.
+
+    Epoch order is re-randomized on every ``__iter__`` (the internal rng
+    advances), so construct once and reuse across epochs.
+    """
+
+    def __init__(self, source: TTSDataSource, batch_size: int,
+                 with_lin: bool = False, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        cfg = source.cfg
+
+        groups: Dict[Tuple[int, int], List[TTSExample]] = {}
+        for i in range(len(source)):
+            e = source[i]
+            tb = _bucket_for(e.mel.shape[0], cfg.tpu.bucket_frames)
+            nb = _bucket_for(len(e.text), cfg.tpu.bucket_text)
+            groups.setdefault((tb, nb), []).append(e)
+        self._groups = []
+        for key in sorted(groups):
+            stacked = pad_batch(groups[key], cfg, with_lin)
+            self._groups.append({k: jax.device_put(v)
+                                 for k, v in stacked.items()})
+
+        @jax.jit
+        def gather(arrs, idx):
+            return {k: jnp.take(v, idx, axis=0) for k, v in arrs.items()}
+
+        self._gather = gather
+        self._jnp = jnp
+
+    def __len__(self) -> int:
+        return sum(g["mel"].shape[0] for g in self._groups)
+
+    def __iter__(self):
+        descs = []
+        for gi, g in enumerate(self._groups):
+            n = g["mel"].shape[0]
+            perm = (self._rng.permutation(n) if self.shuffle
+                    else np.arange(n))
+            for s in range(0, n, self.batch_size):
+                chunk = perm[s: s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                descs.append((gi, chunk))
+        if self.shuffle and len(descs) > 1:
+            order = self._rng.permutation(len(descs))
+            descs = [descs[int(i)] for i in order]
+        for gi, chunk in descs:
+            yield self._gather(self._groups[gi],
+                               self._jnp.asarray(chunk, self._jnp.int32))

@@ -96,3 +96,47 @@ class TestSourceAndLoader:
         r = mini_corpus.mel.reduction
         assert batch["lin"].shape[1] == r * batch["mel"].shape[1]
         assert (batch["lin"][~batch["lin_mask"]] == 0).all()
+
+
+class TestDeviceReplayLoader:
+    def test_matches_bucketed_loader_content(self, mini_corpus):
+        from spoofsv_tpu.data.pipeline import DeviceReplayLoader
+
+        src = TTSDataSource(mini_corpus, "train")
+        dev = DeviceReplayLoader(src, batch_size=4, shuffle=False)
+        host = BucketedLoader(src, batch_size=4, shuffle=False)
+
+        def collect(loader):
+            rows = {}
+            for b in loader:
+                mel = np.asarray(b["mel"])
+                text = np.asarray(b["text"])
+                for i in range(mel.shape[0]):
+                    # key rows by their text ids (unique per utterance here)
+                    rows[tuple(text[i].tolist())] = mel[i]
+            return rows
+
+        hrows, drows = collect(host), collect(dev)
+        assert set(hrows) == set(drows)
+        for k in hrows:
+            # bucket shapes may differ between the two loaders only by
+            # trailing zero padding
+            a, b = hrows[k], drows[k]
+            t = min(a.shape[0], b.shape[0])
+            np.testing.assert_allclose(a[:t], b[:t], atol=1e-6)
+            assert (a[t:] == 0).all() and (b[t:] == 0).all()
+        assert len(dev) == len(src)
+
+    def test_shuffles_between_epochs(self, mini_corpus):
+        from spoofsv_tpu.data.pipeline import DeviceReplayLoader
+
+        src = TTSDataSource(mini_corpus, "train")
+        dev = DeviceReplayLoader(src, batch_size=4, shuffle=True, seed=0)
+
+        def fingerprints(loader):
+            return [round(float(np.asarray(b["mel"][i]).sum()), 4)
+                    for b in loader for i in range(b["mel"].shape[0])]
+
+        flat1, flat2 = fingerprints(dev), fingerprints(dev)
+        assert sorted(flat1) == sorted(flat2)     # same multiset of rows
+        assert flat1 != flat2                     # epoch order advanced
