@@ -69,6 +69,11 @@ class TPUConfig:
     # spoofsv_tpu/ops/pallas_gl.py), XLA fori_loop elsewhere. "xla"/"pallas"
     # force one implementation.
     griffin_lim_impl: str = "auto"
+    # AR decoder implementation: "scan" = lax.scan of cached decode steps
+    # (infer/decode.py), "pallas" = fused whole-rollout kernel with
+    # VMEM-resident weights + circular ring caches (ops/pallas_decode.py),
+    # "auto" = pallas on TPU, scan elsewhere.
+    decode_impl: str = "auto"
     remat: bool = False                # jax.checkpoint over highway stacks
 
 

@@ -119,7 +119,18 @@ class Synthesizer:
         self.melsyn_params = melsyn_params
         self.ssrn_params = ssrn_params
         self.n_frames = n_frames or cfg.max_frame_num
-        self.decode = make_decoder(melsyn, self.n_frames)
+        impl = getattr(cfg.tpu, "decode_impl", "auto")
+        # the fused kernel is not auto-partitionable under a mesh — data-
+        # parallel synthesis keeps the scan decoder (shard_map wrap is a
+        # future lever)
+        use_pallas_decode = mesh is None and (
+            impl == "pallas" or (impl == "auto"
+                                 and jax.default_backend() == "tpu"))
+        if use_pallas_decode:
+            from spoofsv_tpu.ops.pallas_decode import make_fused_decoder
+            self.decode = make_fused_decoder(melsyn, self.n_frames)
+        else:
+            self.decode = make_decoder(melsyn, self.n_frames)
         self.vocode = make_vocoder(cfg, gl_iters)
         self._ssrn_apply = jax.jit(lambda p, mel: ssrn.apply(p, mel))
 
