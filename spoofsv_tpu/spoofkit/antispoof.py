@@ -151,8 +151,11 @@ def make_cm_train_step(model, lr: float = 1e-3, weight_decay: float = 1e-4):
         def loss_fn(p):
             pred = model.apply(p, x, deterministic=False,
                                rngs={"dropout": rng})
-            return jnp.mean(-label * jnp.log(pred + 1e-6)
-                            - (1 - label) * jnp.log(1 - pred + 1e-6))
+            # floor the log args with maximum — `1 - pred + eps` is unsafe
+            # under XLA reassociation (see train/losses.py::binary_divergence)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            return jnp.mean(-label * jnp.log(jnp.maximum(pred, 1e-6))
+                            - (1 - label) * jnp.log(jnp.maximum(1 - pred, 1e-6)))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -37,8 +37,20 @@ def l1_loss(target: Array, pred: Array, mask: Optional[Array] = None) -> Array:
 
 
 def binary_divergence(target: Array, pred: Array, mask: Optional[Array] = None) -> Array:
-    """BCE on sigmoid outputs (``train/ordinary.py:231``)."""
-    bd = -target * jnp.log(pred + 1e-8) - (1.0 - target) * jnp.log(1.0 - pred + 1e-8)
+    """BCE on sigmoid outputs (``train/ordinary.py:231``).
+
+    The reference's ``log(1 - pred + 1e-8)`` is NOT safe under XLA fusion:
+    the algebraic simplifier reassociates it to ``(1 + 1e-8) - pred``, and
+    ``1 + 1e-8`` rounds to exactly 1.0 in f32 (ulp near 1 is 6e-8) — a
+    saturated sigmoid then yields ``log(0) = -inf`` and ``-inf · 0 = NaN``
+    against ``target == 1`` (observed: SSRN training NaN'd at reference dims
+    on TPU at ~iter 100 while the same state/batch was finite eagerly).
+    Flooring the log argument with ``maximum`` cannot be reassociated away
+    and equals the reference values wherever the reference is finite.
+    """
+    pred = jnp.clip(pred, 0.0, 1.0)
+    bd = (-target * jnp.log(jnp.maximum(pred, 1e-8))
+          - (1.0 - target) * jnp.log(jnp.maximum(1.0 - pred, 1e-8)))
     if mask is None:
         return bd.mean()
     m = mask[..., None].astype(bd.dtype)

@@ -255,3 +255,21 @@ class TestShardedDecode:
                                jax.device_put(text, sh), jax.device_put(spk, sh))
         np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref), atol=1e-5)
+
+
+class TestBinaryDivergenceSaturation:
+    def test_pred_above_one_stays_finite(self):
+        """XLA's fused logistic on TPU can round a saturated sigmoid to
+        1 + O(ulp); the clamp keeps the log finite (this NaN'd SSRN training
+        at reference dims before the fix)."""
+        import jax.numpy as jnp
+
+        from spoofsv_tpu.train.losses import binary_divergence
+
+        t = jnp.asarray([[0.2, 0.9]])
+        pred = jnp.asarray([[1.0 + 1e-7, -1e-7]])   # just outside [0, 1]
+        bd = binary_divergence(t, pred)
+        assert np.isfinite(float(bd))
+        # and equals the exactly-saturated value
+        bd_sat = binary_divergence(t, jnp.asarray([[1.0, 0.0]]))
+        assert abs(float(bd) - float(bd_sat)) < 1e-5
