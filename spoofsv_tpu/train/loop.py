@@ -347,16 +347,21 @@ class Trainer:
         key = jax.random.PRNGKey(rng_seed)
         max_epochs = max_epochs or self.cfg.max_epochs
         last_batch = None
+        window_t0 = time.time()
         while self.epoch < max_epochs:
             for batch in train_loader_factory():
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.state is None:
                     self.init(jax.random.PRNGKey(rng_seed), batch)
                 key, sub = jax.random.split(key)
-                t0 = time.time()
                 m = self.train_iteration(batch, sub)
                 if m:  # fetched on this iteration (see metrics_every)
-                    m["sec_per_iter"] = time.time() - t0
+                    # the fetch syncs every queued async step since the last
+                    # fetch — amortize the whole window, or the metric reads
+                    # metrics_every× too slow on pipelined transports
+                    now = time.time()
+                    m["sec_per_iter"] = (now - window_t0) / self.metrics_every
+                    window_t0 = now
                     self.metrics.log(dict(m, split="train",
                                           iteration=self.iteration,
                                           epoch=self.epoch))
