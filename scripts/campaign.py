@@ -296,36 +296,48 @@ def stage_synthesize():
             "ssrn_loss": float(np.mean(ssrn_losses)) if ssrn_losses else None}
 
 
-def stage_spoofgen():
+def stage_spoofgen(tag=TAG, cfg_path=None):
     from spoofsv_tpu.cli import generate_test_utterances as gtu
 
-    gtu.main(["-C", CFG_PATH, "-T", TAG,
+    gtu.main(["-C", cfg_path or CFG_PATH, "-T", tag,
               "--train_spk_num", str(ARGS.train_spk),
               "--enroll_utt_num", str(ARGS.enroll),
               "--eval_utt_num", str(ARGS.eval_num),
               "--speaker_batch", str(ARGS.speaker_batch)])
-    test_root = os.path.join(ROOT, "test", TAG)
+    test_root = os.path.join(ROOT, "test", tag)
     n = len(glob.glob(os.path.join(test_root, "spoof_data", "*", "*.wav")))
     return {"spoof_wavs": n, "test_root": test_root}
+
+
+def stage_spoofgen_adv():
+    """Spoof set from the WGAN-GP Text2Mel (ordinary SSRN — the adversarial
+    campaign trains the generator adversarially; SSRN is shared)."""
+    cfg_adv = os.path.join(ROOT, "config_adv.json")
+    d = json.load(open(CFG_PATH))
+    d["INFERENCE_TEXT2MEL_MODEL"] = _ckpt(TAG_ADV, "text2mel", adversarial=True)
+    d["INFERENCE_SSRN_MODEL"] = _ckpt(TAG, "ssrn")
+    with open(cfg_adv, "w") as f:
+        json.dump(d, f, indent=2)
+    return stage_spoofgen(tag=TAG_ADV, cfg_path=cfg_adv)
 
 
 # ----------------------------------------------------------------------
 # GE2E
 # ----------------------------------------------------------------------
 
-def _ge2e_config():
+def _ge2e_config(tag=TAG, suffix=""):
     from spoofsv_tpu.config import GE2EConfig
 
-    test_root = os.path.join(ROOT, "test", TAG)
+    test_root = os.path.join(ROOT, "test", tag)
     ge2e = GE2EConfig()
     n_test = ARGS.speakers - ARGS.train_spk
     return dataclasses.replace(
         ge2e,
         unprocessed_data=os.path.join(test_root, "ge2e_data", "*", "*.wav"),
-        save_simmat_dir=os.path.join(ROOT, "simmat"),
+        save_simmat_dir=os.path.join(ROOT, "simmat" + suffix),
         data=dataclasses.replace(
-            ge2e.data, train_path=os.path.join(ROOT, "tisv_train"),
-            test_path=os.path.join(ROOT, "tisv_test")),
+            ge2e.data, train_path=os.path.join(ROOT, "tisv_train" + suffix),
+            test_path=os.path.join(ROOT, "tisv_test" + suffix)),
         model=dataclasses.replace(ge2e.model, hidden=ARGS.ge2e_hidden,
                                   num_layer=ARGS.ge2e_layers,
                                   proj=ARGS.ge2e_proj),
@@ -357,6 +369,27 @@ def stage_ge2e():
     return res
 
 
+def stage_ge2e_adv():
+    """Re-stage the adversarial spoof set through the SAME trained embedder:
+    only the spoof crops change, so EER/threshold transfer is apples-to-apples
+    with the ordinary chain."""
+    from spoofsv_tpu.spoofkit import ge2e_harness as gh
+
+    ge2e = _ge2e_config(tag=TAG_ADV, suffix="_adv")
+    gh.save_spectrogram_tisv(ge2e, train_spk_num=ARGS.train_spk,
+                             enroll_num=ARGS.enroll + ARGS.eval_num,
+                             eval_num=ARGS.eval_num, seed=0, verbose=False)
+    ck = json.load(open(os.path.join(STATE, "ge2e.json")))["checkpoint"]
+    test_root = os.path.join(ROOT, "test", TAG_ADV)
+    res = gh.run_ge2e_evaluation(
+        ge2e, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
+        model_path=ck, verbose=True,
+        nospoof_data=os.path.join(test_root, "ivector_data", "test_nospoof",
+                                  "*", "*.wav"), seed=0)
+    res["checkpoint"] = ck
+    return res
+
+
 # ----------------------------------------------------------------------
 # i-vector
 # ----------------------------------------------------------------------
@@ -368,6 +401,19 @@ def stage_ivector():
     cfg = load_config(CFG_PATH)
     return run_ivector_pipeline(
         cfg, TAG, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
+        num_gauss=ARGS.ivec_gauss, ivec_dim=ARGS.ivec_dim, workers=8,
+        models_dir=os.path.join(ROOT, "ivector_models"), verbose=True)
+
+
+def stage_ivector_adv():
+    """Score the adversarial spoof set with the CACHED i-vector models
+    (run.sh [1] semantics — UBM/T/PLDA reused, scoring only)."""
+    from spoofsv_tpu.config import load_config
+    from spoofsv_tpu.spoofkit.ivector import run_ivector_pipeline
+
+    cfg = load_config(CFG_PATH)
+    return run_ivector_pipeline(
+        cfg, TAG_ADV, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
         num_gauss=ARGS.ivec_gauss, ivec_dim=ARGS.ivec_dim, workers=8,
         models_dir=os.path.join(ROOT, "ivector_models"), verbose=True)
 
@@ -420,12 +466,43 @@ def stage_cm():
             "scores": scores_path}
 
 
-def stage_curve():
+def _score_cm(tag):
+    from spoofsv_tpu.cli import antispoof as cm_cli
+    from spoofsv_tpu.spoofkit.antispoof import cm_eer
+
+    ck = os.path.join(ROOT, "checkpoints", TAG, "final.npz")
+    cwd = os.getcwd()
+    os.chdir(ROOT)
+    try:
+        cm_cli.main(["dev", "-C", CFG_PATH, "-T", tag, "-R", ck,
+                     "--bonafide_cap", str(ARGS.cm_cap)])
+    finally:
+        os.chdir(cwd)
+    scores_path = os.path.join(ROOT, "cm_scores", f"scores_{tag}.txt")
+    labels, scores = [], []
+    with open(scores_path) as f:
+        for line in f:
+            parts = line.split()
+            labels.append(1.0 if parts[2] == "bonafide" else 0.0)
+            scores.append(float(parts[3]))
+    labels, scores = np.asarray(labels), np.asarray(scores)
+    eer, thr = cm_eer(labels, scores)
+    return {"cm_eer": float(eer), "threshold": float(thr),
+            "n_bonafide": int(labels.sum()), "n_spoof": int((1 - labels).sum()),
+            "scores": scores_path}
+
+
+def stage_cm_adv():
+    """Score the adversarial spoof set with the SAME trained countermeasure."""
+    return _score_cm(TAG_ADV)
+
+
+def _curve(tag, suffix, out_name):
     from spoofsv_tpu.cli import curve as curve_cli
 
-    test_root = os.path.join(ROOT, "test", TAG)
-    simmats = sorted(glob.glob(os.path.join(ROOT, "simmat", "*.npy")))
-    out_png = os.path.join(ROOT, "curve.png")
+    test_root = os.path.join(ROOT, "test", tag)
+    simmats = sorted(glob.glob(os.path.join(ROOT, "simmat" + suffix, "*.npy")))
+    out_png = os.path.join(ROOT, out_name)
     curve_cli.main(["--simmat", simmats[0],
                     "--ivector_score",
                     os.path.join(test_root, "ivector_data", "scores",
@@ -436,11 +513,20 @@ def stage_curve():
     return {"curve": out_png}
 
 
+def stage_curve():
+    return _curve(TAG, "", "curve.png")
+
+
+def stage_curve_adv():
+    return _curve(TAG_ADV, "_adv", "curve_adv.png")
+
+
 def stage_report():
     out = {}
     for name in ("corpus", "prepare", "train_t2m", "train_ssrn", "train_adv",
                  "synthesize", "spoofgen", "ge2e", "ivector", "ivector_ref",
-                 "cm", "curve"):
+                 "cm", "curve", "spoofgen_adv", "ge2e_adv", "ivector_adv",
+                 "cm_adv", "curve_adv"):
         marker = os.path.join(STATE, f"{name}.json")
         if os.path.exists(marker):
             out[name] = json.load(open(marker))
@@ -448,7 +534,8 @@ def stage_report():
         json.dump(out, f, indent=2, default=float)
     print(json.dumps({k: v for k, v in out.items()
                       if k in ("ge2e", "ivector", "ivector_ref", "cm",
-                               "synthesize")}, indent=2, default=float))
+                               "synthesize", "ge2e_adv", "ivector_adv",
+                               "cm_adv")}, indent=2, default=float))
     return {"results": os.path.join(ROOT, "RESULTS.json")}
 
 
@@ -468,6 +555,13 @@ def main():
     run_stage("ivector_ref", stage_ivector_ref)
     run_stage("cm", stage_cm)
     run_stage("curve", stage_curve)
+    # adversarial chain: spoofs from the WGAN-GP generator scored by the
+    # SAME trained verifiers/countermeasure (the paper's core comparison)
+    run_stage("spoofgen_adv", stage_spoofgen_adv)
+    run_stage("ge2e_adv", stage_ge2e_adv)
+    run_stage("ivector_adv", stage_ivector_adv)
+    run_stage("cm_adv", stage_cm_adv)
+    run_stage("curve_adv", stage_curve_adv)
     run_stage("report", stage_report)
 
 
