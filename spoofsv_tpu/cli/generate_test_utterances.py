@@ -23,7 +23,7 @@ def main(argv=None) -> None:
     ps.add_argument("--skip_staging", action="store_true")
     args = ps.parse_args(argv)
 
-    from spoofsv_tpu.cli.main import build_models
+    from spoofsv_tpu.cli.main import build_models, inference_dtype
     from spoofsv_tpu.config import load_config
     from spoofsv_tpu.infer.synthesize import Synthesizer
     from spoofsv_tpu.spoofkit import spoofgen
@@ -32,7 +32,8 @@ def main(argv=None) -> None:
     cfg = load_config(args.configuration)
 
     if not args.skip_synthesis:
-        melsyn, ssrn, _, _ = build_models(cfg, "conditional")
+        melsyn, ssrn, _, _ = build_models(cfg, "conditional",
+                                          dtype=inference_dtype(cfg))
         m1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
         m2 = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg, kind="ssrn")
         syn = Synthesizer(cfg, melsyn, ssrn, m1, m2,

@@ -16,6 +16,19 @@ from typing import Optional
 import numpy as np
 
 
+def inference_dtype(cfg):
+    """Compute dtype for inference-path models: ``cfg.tpu.compute_dtype``
+    (bf16 by default) on the TPU backend, f32 elsewhere. Params stay f32 —
+    checkpoints load unchanged; only the MXU compute runs in bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    if (jax.default_backend() == "tpu"
+            and cfg.tpu.compute_dtype == "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def build_models(cfg, pattern: str, dtype=None):
     import jax.numpy as jnp
 
@@ -112,7 +125,8 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
     from spoofsv_tpu.infer.synthesize import Synthesizer, finalize_audio
     from spoofsv_tpu.utils.checkpoints import load_generator_params
 
-    melsyn, ssrn, _, _ = build_models(cfg, args.pattern)
+    melsyn, ssrn, _, _ = build_models(cfg, args.pattern,
+                                      dtype=inference_dtype(cfg))
     m1_params = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
     m2_params = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg,
                                       kind="ssrn")

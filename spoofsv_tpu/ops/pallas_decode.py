@@ -256,13 +256,20 @@ def decode_fused(packed: Dict[str, jnp.ndarray], K: jnp.ndarray,
                  V: jnp.ndarray, s1: Optional[jnp.ndarray],
                  s2: Optional[jnp.ndarray], *, n_frames: int, freq_bins: int,
                  hidden: int, condition: bool = True, monotonic: bool = True,
-                 batch_tile: int = 128, interpret: bool = False
+                 batch_tile: Optional[int] = None, interpret: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the fused rollout. ``K``/``V``: (B, N, C). Returns
-    (Y (B, T, freq_bins), A (B, N, T), pma (B,))."""
+    (Y (B, T, freq_bins), A (B, N, T), pma (B,)).
+
+    ``batch_tile`` defaults by dtype: 128 rows for 2-byte dtypes, 64 for f32
+    — the resident set (weights + rings + K/V blocks + output blocks) must
+    stay inside the ~128 MB VMEM budget.
+    """
     b, n, c = K.shape
     assert c == hidden
     dtype = K.dtype
+    if batch_tile is None:
+        batch_tile = 128 if jnp.dtype(dtype).itemsize <= 2 else 64
     npad = _round_up(n, 128)
     fpad = _round_up(freq_bins, 128)
     bt = min(batch_tile, b)
@@ -337,7 +344,7 @@ def decode_fused(packed: Dict[str, jnp.ndarray], K: jnp.ndarray,
 
 
 def make_fused_decoder(model, n_frames: int, monotonic: bool = True,
-                       batch_tile: int = 128, interpret: bool = False):
+                       batch_tile: Optional[int] = None, interpret: bool = False):
     """Drop-in replacement for :func:`spoofsv_tpu.infer.decode.make_decoder`
     backed by the fused kernel. Same signature and return contract."""
     from spoofsv_tpu.models.text2mel import MelSyn
