@@ -69,6 +69,9 @@ class TPUConfig:
     # spoofsv_tpu/ops/pallas_gl.py), XLA fori_loop elsewhere. "xla"/"pallas"
     # force one implementation.
     griffin_lim_impl: str = "auto"
+    # int8 forward-DFT matmuls inside the fused GL kernel (2x MXU rate on
+    # v5e: 359->317ms at bench shapes; spectral convergence 0.0594 vs 0.0586)
+    griffin_lim_int8: bool = True
     # AR decoder implementation: "scan" = lax.scan of cached decode steps
     # (infer/decode.py), "pallas" = fused whole-rollout kernel with
     # VMEM-resident weights + circular ring caches (ops/pallas_decode.py),

@@ -60,8 +60,10 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
         spec = jnp.power(x, power)
         if use_pallas:
             from spoofsv_tpu.ops.pallas_gl import griffin_lim_fused
-            audio = griffin_lim_fused(spec, key, n_fft, hop, n_fft,
-                                      n_iter=n_iter, precision=precision)
+            audio = griffin_lim_fused(
+                spec, key, n_fft, hop, n_fft, n_iter=n_iter,
+                precision=precision,
+                int8_fwd=getattr(cfg.tpu, "griffin_lim_int8", False))
         else:
             audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft,
                                        n_iter=n_iter, precision=precision)

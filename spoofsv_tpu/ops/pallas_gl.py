@@ -71,6 +71,7 @@ TT = 256          # frame-tile rows per matmul (measured best: 359 vs 367ms at T
 _EPS_WSS = 1e-11  # istft_ri's window-sum-square threshold
 
 
+
 def _supported(n_fft: int, hop: int, win_length: int, T: int) -> bool:
     return (win_length == n_fft and n_fft % hop == 0 and n_fft // hop == 4
             and hop % 128 == 0 and T >= 16)
@@ -100,9 +101,9 @@ def _tiles_of(Tp: int):
 
 def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
-               wvec, invw_l, invw_r, flip, ana, sedge, eana, *,
+               wvec, invw_l, invw_r, flip, ana, sedge, eana, *extra,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
-               momentum: float, R: int):
+               momentum: float, R: int, int8_fwd: bool):
     N = n_fft
     F = N // 2 + 1
     Fa = F - 1            # MXU-aligned bin count; Nyquist handled rank-1
@@ -160,6 +161,11 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         fi = jax.lax.broadcasted_iota(jnp.int32, (N // 2, N // 2), 0)
         fj = jax.lax.broadcasted_iota(jnp.int32, (N // 2, N // 2), 1)
         flip[:] = (fi + fj == N // 2 - 1).astype(f32)
+
+        if int8_fwd:
+            dftc8, dfts8 = extra
+            dftc8[:] = jnp.round(jnp.cos(th) * 127.0).astype(jnp.int8)
+            dfts8[:] = jnp.round(-jnp.sin(th) * 127.0).astype(jnp.int8)
 
     # ------------------------------------------------------------------
     # Per-utterance state init
@@ -273,8 +279,22 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                         p = frame - r0
                         ana[ri, p:p + 1, :] = eana[ri, erow:erow + 1, :].astype(bf16)
                 ab = ana[ri, 0:ts, :]
-                rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
-                ri_ = jnp.dot(ab, dfts[:], preferred_element_type=f32)
+                if int8_fwd:
+                    dftc8, dfts8 = extra
+                    ab32 = ab.astype(f32)
+                    amax = jnp.max(jnp.abs(ab32)) + f32(1e-20)
+                    q = jnp.clip(jnp.round(ab32 * (f32(127.0) / amax)),
+                                 -127.0, 127.0).astype(jnp.int8)
+                    deq = amax * f32(1.0 / (127.0 * 127.0))
+                    rr = jnp.dot(q, dftc8[:],
+                                 preferred_element_type=jnp.int32
+                                 ).astype(f32) * deq
+                    ri_ = jnp.dot(q, dfts8[:],
+                                  preferred_element_type=jnp.int32
+                                  ).astype(f32) * deq
+                else:
+                    rr = jnp.dot(ab, dftc[:], preferred_element_type=f32)
+                    ri_ = jnp.dot(ab, dfts[:], preferred_element_type=f32)
                 # Nyquist bin: fwd column is (-1)^n, sin part identically 0
                 rr_n = jnp.sum(ab.astype(f32) * nyq_c[:], axis=1, keepdims=True)
 
@@ -356,10 +376,10 @@ def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Ar
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_fft", "hop", "n_iter", "momentum", "interpret"))
+    "n_fft", "hop", "n_iter", "momentum", "interpret", "int8_fwd"))
 def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                     hop: int, n_iter: int, momentum: float,
-                    interpret: bool) -> Tuple[jax.Array, jax.Array]:
+                    interpret: bool, int8_fwd: bool) -> Tuple[jax.Array, jax.Array]:
     B, T, F = mag_bf16.shape
     # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
     # loops full TT tiles plus one short remainder tile
@@ -374,7 +394,8 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     N = n_fft
 
     kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
-                               n_iter=n_iter, momentum=momentum, R=R)
+                               n_iter=n_iter, momentum=momentum, R=R,
+                               int8_fwd=int8_fwd)
     kw = {}
     if _VMEM is not None and not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -402,6 +423,9 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         _scratch((R, 2, 6 * hop), jnp.float32),  # edge OLA signal (l/r)
         _scratch((R, 8, N), jnp.float32),      # corrected edge ana frames
     ]
+    if int8_fwd:
+        scratches += [_scratch((N, F - 1), jnp.int8),   # fwd DFT cos int8
+                      _scratch((N, F - 1), jnp.int8)]   # fwd DFT -sin int8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -433,12 +457,22 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
                       momentum: float = 0.99,
                       use_matmul: Optional[bool] = None,
                       precision=jax.lax.Precision.DEFAULT,
-                      interpret: Optional[bool] = None) -> jax.Array:
+                      interpret: Optional[bool] = None,
+                      int8_fwd: bool = False) -> jax.Array:
     """Drop-in for :func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim` running the
     64-iteration loop in a single VMEM-resident Pallas kernel.
 
     Falls back to the XLA implementation for unsupported geometries
     (hop ≠ n_fft/4, short spectrograms).
+
+    ``int8_fwd`` runs the per-iteration forward-DFT matmuls in int8 (2x MXU
+    rate on v5e; 359 -> 317 ms at B=128/T=1300/64 iters) with a per-tile
+    dynamic scale on the frames and 127-scaled DFT matrices. Only the
+    *phase* of the result survives GL's normalize step, so the quantization
+    is iteratively corrected: measured spectral convergence 0.0594 vs
+    0.0586 (bf16) vs 0.0588 (f32 XLA) at bench shapes. Individual waveforms
+    differ sample-level from the bf16 path (GL solutions are non-unique) —
+    the production vocoder enables it via ``Config.tpu.griffin_lim_int8``.
     """
     from spoofsv_tpu.dsp import jaxdsp
 
@@ -454,5 +488,5 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
                                dtype=jnp.int32)
     _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
                                   n_fft, hop_length, n_iter, momentum,
-                                  bool(interpret))
+                                  bool(interpret), bool(int8_fwd))
     return audio
