@@ -163,9 +163,11 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         flip[:] = (fi + fj == N // 2 - 1).astype(f32)
 
         if int8_fwd:
-            dftc8, dfts8 = extra
+            dftc8, dfts8, inv8c, inv8s = extra
             dftc8[:] = jnp.round(jnp.cos(th) * 127.0).astype(jnp.int8)
             dfts8[:] = jnp.round(-jnp.sin(th) * 127.0).astype(jnp.int8)
+            inv8c[:] = jnp.round(jnp.cos(th2) * 127.0).astype(jnp.int8)
+            inv8s[:] = jnp.round(-jnp.sin(th2) * 127.0).astype(jnp.int8)
 
     # ------------------------------------------------------------------
     # Per-utterance state init
@@ -196,8 +198,27 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         return jnp.dot(x, fm, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    def phase_a():
-        """fsyn[f] = irfft(mag·ang)[f] ⊙ w for all frames of all rows."""
+    def _q8_dot(x, mat8, extra_deq=1.0):
+        """Per-row dynamically scaled int8 matmul: round(x·127/rowmax) @ mat8,
+        dequantized by rowmax/127² (× any static factor)."""
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True) + f32(1e-20)
+        q = jnp.clip(jnp.round(x * (f32(127.0) / amax)),
+                     -127.0, 127.0).astype(jnp.int8)
+        out = jnp.dot(q, mat8[:], preferred_element_type=jnp.int32)
+        return out.astype(f32) * (amax * f32(extra_deq / (127.0 * 127.0)))
+
+    def phase_a(quant: bool):
+        """fsyn[f] = irfft(mag·ang)[f] ⊙ w for all frames of all rows.
+
+        ``quant``: int8 inverse-DFT matmuls — the w_k∈{1,2} bin weights fold
+        into the operand (the matrices' 1/N scale would quantize to zero)
+        and 1/N into the dequant. The epilogue's final synthesis always runs
+        the bf16 path (``quant=False``) so the output waveform itself is
+        never quantized.
+        """
+        if quant:
+            kvec = jax.lax.broadcasted_iota(jnp.int32, (1, Fa), 1)
+            wk_vec = jnp.where(kvec == 0, 1.0, 2.0).astype(f32)
         for r0, ts in tiles:
             for ri in range(R):
                 m = mag_ref[ri, r0:r0 + ts, :].astype(f32)
@@ -205,15 +226,20 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                 aim = angim_ref[ri, r0:r0 + ts, :].astype(f32)
                 cre = m * are
                 cim = m * aim
-                fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
-                             preferred_element_type=f32)
-                fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
-                                  preferred_element_type=f32)
+                if quant:
+                    inv8c, inv8s = extra[2], extra[3]
+                    fr = _q8_dot(cre[:, :Fa] * wk_vec, inv8c, 1.0 / N)
+                    fr = fr + _q8_dot(cim[:, :Fa] * wk_vec, inv8s, 1.0 / N)
+                else:
+                    fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
+                                 preferred_element_type=f32)
+                    fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
+                                      preferred_element_type=f32)
                 fr = fr + cre[:, Fa:F] * nyq_ic[:]    # Nyquist rank-1 (sin≡0)
                 fsyn[ri, 3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
 
     def iteration(it, carry):
-        phase_a()
+        phase_a(int8_fwd)
 
         # ---- Edge signal reconstruction (exact wss + reflect) ----
         # sedge[ri] row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left);
@@ -280,9 +306,10 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                         ana[ri, p:p + 1, :] = eana[ri, erow:erow + 1, :].astype(bf16)
                 ab = ana[ri, 0:ts, :]
                 if int8_fwd:
-                    dftc8, dfts8 = extra
+                    dftc8, dfts8 = extra[0], extra[1]
                     ab32 = ab.astype(f32)
-                    amax = jnp.max(jnp.abs(ab32)) + f32(1e-20)
+                    amax = jnp.max(jnp.abs(ab32), axis=-1,
+                                   keepdims=True) + f32(1e-20)
                     q = jnp.clip(jnp.round(ab32 * (f32(127.0) / amax)),
                                  -127.0, 127.0).astype(jnp.int8)
                     deq = amax * f32(1.0 / (127.0 * 127.0))
@@ -331,7 +358,7 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
     # the OLA signal; the N/2 crop = 2 hops). Interior invwss is 1/1.5;
     # audio chunk 0 and the last 4 chunks take the true edge tables.
     # ------------------------------------------------------------------
-    phase_a()
+    phase_a(False)
     inv_interior = f32(1.0 / 1.5)
     for q0, ts in _tiles_of(T - 1):
         for ri in range(R):
@@ -425,7 +452,9 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     ]
     if int8_fwd:
         scratches += [_scratch((N, F - 1), jnp.int8),   # fwd DFT cos int8
-                      _scratch((N, F - 1), jnp.int8)]   # fwd DFT -sin int8
+                      _scratch((N, F - 1), jnp.int8),   # fwd DFT -sin int8
+                      _scratch((F - 1, N), jnp.int8),   # inv DFT cos int8
+                      _scratch((F - 1, N), jnp.int8)]   # inv DFT -sin int8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
