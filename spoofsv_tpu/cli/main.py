@@ -53,6 +53,27 @@ def build_models(cfg, pattern: str, dtype=None):
     return melsyn, ssrn, mel_disc, lin_disc
 
 
+def resolve_mesh(args, cfg):
+    """Data-parallel mesh for training: ``--mesh N`` (N>1), ``--mesh all``,
+    or the reference's ``MULTI_GPU`` config key (``config.json:34``,
+    ``train/ordinary.py:165-173``) → mesh over all local devices. Returns
+    None for single-device training."""
+    import jax
+
+    spec = getattr(args, "mesh", None)
+    if spec is None and cfg.multi_gpu:
+        spec = "all"
+    if spec in (None, "1"):
+        return None
+    n = len(jax.devices()) if spec == "all" else int(spec)
+    if n <= 1:
+        return None
+    from spoofsv_tpu.parallel.mesh import make_mesh
+
+    print(f"[mesh] data-parallel over {n} devices")
+    return make_mesh(n)
+
+
 def run_training(args, cfg, spec_dir: Optional[str]) -> None:
     import jax
 
@@ -73,11 +94,24 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
     val_src = TTSDataSource(cfg, "validate", spec_dir, need_lin=with_lin,
                             pattern=args.pattern, stage=args.stage)
 
+    mesh = resolve_mesh(args, cfg)
     trainer = Trainer(cfg, gen, args.step, pattern=args.pattern,
                       adversarial=args.adversarial,
                       disc_model=disc if args.adversarial else None,
                       ctime=args.current_time, use_masks=args.masked_loss,
-                      metrics_every=args.metrics_every)
+                      metrics_every=args.metrics_every, mesh=mesh)
+
+    if args.resume:
+        path = args.resume
+        if path == "latest":
+            path = trainer.ckpt.latest()
+            if path is None:
+                print("no checkpoint to resume from; starting fresh")
+        if path:
+            example = next(iter(BucketedLoader(
+                train_src, cfg.batch_size, with_lin=with_lin, shuffle=False)))
+            trainer.resume(path, example)
+            print(f"Resumed from {path} at iteration {trainer.iteration}")
 
     use_device_data = (args.device_data == "on" or
                        (args.device_data == "auto"
@@ -85,10 +119,12 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
     if use_device_data:
         # remote-TPU transports pay multiple RPC round-trips + MBs of upload
         # per step; keep the whole (bucket-padded) dataset device-resident
-        # and gather batches on device instead.
+        # and gather batches on device instead. Seeded with the resumed
+        # epoch so a restored run continues the original shuffle sequence
+        # instead of replaying a fresh run's epochs.
         device_loader = DeviceReplayLoader(train_src, cfg.batch_size,
                                            with_lin=with_lin, shuffle=True,
-                                           seed=0)
+                                           seed=trainer.epoch, mesh=mesh)
 
         def train_loader():
             return device_loader
@@ -99,17 +135,6 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
 
     def val_loader():
         return BucketedLoader(val_src, 8, with_lin=with_lin, shuffle=False)
-
-    if args.resume:
-        path = args.resume
-        if path == "latest":
-            path = trainer.ckpt.latest()
-            if path is None:
-                print("no checkpoint to resume from; starting fresh")
-        if path:
-            example = next(iter(train_loader()))
-            trainer.resume(path, example)
-            print(f"Resumed from {path} at iteration {trainer.iteration}")
 
     trainer.fit(train_loader, val_loader, plot=cfg.plot_curve,
                 max_iterations=args.max_iterations)
@@ -205,6 +230,11 @@ def main(argv=None) -> None:
                     help="keep the bucket-padded dataset device-resident and "
                          "gather batches on device (auto: on for non-CPU "
                          "backends; essential on tunneled TPU transports)")
+    ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
+                    help="data-parallel training over an N-device mesh "
+                         "(replicated params, batch sharded over ICI; the "
+                         "TPU equivalent of the reference's MULTI_GPU "
+                         "DataParallel). Default: MULTI_GPU config key")
     ps.add_argument("--metrics_every", type=int, default=1,
                     help="fetch/log train metrics every N iterations "
                          "(device->host fetches sync the stream; >1 lets "

@@ -224,7 +224,13 @@ class DeviceReplayLoader:
 
     def __init__(self, source: TTSDataSource, batch_size: int,
                  with_lin: bool = False, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — bucket groups are stored
+        replicated over the mesh and the jitted gather emits batches sharded
+        over the ``data`` axis, so data-parallel training gets device-placed,
+        correctly-sharded batches with zero per-step host traffic. Chunks are
+        trimmed to a multiple of the data-axis size (XLA shardings need even
+        splits; the reference's ``DataParallel`` scatters uneven ones)."""
         import jax
         import jax.numpy as jnp
 
@@ -233,6 +239,15 @@ class DeviceReplayLoader:
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
         cfg = source.cfg
+
+        if mesh is not None:
+            from spoofsv_tpu.parallel.mesh import batch_sharding, replicated
+            group_sh = replicated(mesh)
+            out_sh = batch_sharding(mesh)
+            self._n_shards = int(np.prod(mesh.devices.shape))
+        else:
+            group_sh = out_sh = None
+            self._n_shards = 1
 
         groups: Dict[Tuple[int, int], List[TTSExample]] = {}
         for i in range(len(source)):
@@ -243,14 +258,16 @@ class DeviceReplayLoader:
         self._groups = []
         for key in sorted(groups):
             stacked = pad_batch(groups[key], cfg, with_lin)
-            self._groups.append({k: jax.device_put(v)
+            self._groups.append({k: (jax.device_put(v, group_sh)
+                                     if group_sh is not None
+                                     else jax.device_put(v))
                                  for k, v in stacked.items()})
 
-        @jax.jit
         def gather(arrs, idx):
             return {k: jnp.take(v, idx, axis=0) for k, v in arrs.items()}
 
-        self._gather = gather
+        self._gather = (jax.jit(gather, out_shardings=out_sh)
+                        if out_sh is not None else jax.jit(gather))
         self._jnp = jnp
 
     def __len__(self) -> int:
@@ -266,6 +283,11 @@ class DeviceReplayLoader:
                 chunk = perm[s: s + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
+                if self._n_shards > 1:
+                    keep = (len(chunk) // self._n_shards) * self._n_shards
+                    if keep == 0:
+                        continue
+                    chunk = chunk[:keep]
                 descs.append((gi, chunk))
         if self.shuffle and len(descs) > 1:
             order = self._rng.permutation(len(descs))

@@ -343,13 +343,11 @@ def load_ge2e_params(path: str, embedder, proj: int):
 # Test harness: EER + spoof rate
 # ----------------------------------------------------------------------
 
-def build_sim_matrix(embedder, emb_params, batch: np.ndarray,
-                     enroll_num: int) -> np.ndarray:
-    """(N, M, F, T) test batch → similarity matrix (N, M-2e, N)
-    (``GE2E/train_speech_embedder.py:131-165``)."""
+def embed_test_batch(embedder, emb_params, batch: np.ndarray,
+                     enroll_num: int):
+    """(N, M, F, T) test batch → (e_enroll (N, 2e, D), e_verif (N, M-2e, D))
+    (the embedding passes of ``GE2E/train_speech_embedder.py:131-160``)."""
     import jax.numpy as jnp
-
-    from spoofsv_tpu.models.ge2e import get_centroids, get_cossim
 
     n, m = batch.shape[0], batch.shape[1]
     es1 = 2 * enroll_num
@@ -357,9 +355,30 @@ def build_sim_matrix(embedder, emb_params, batch: np.ndarray,
     verif = jnp.asarray(batch[:, es1:].reshape(n * (m - es1), *batch.shape[2:]))
     e_enroll = embedder.apply(emb_params, enroll).reshape(n, es1, -1)
     e_verif = embedder.apply(emb_params, verif).reshape(n, m - es1, -1)
-    centroids = get_centroids(e_enroll)
-    sim = get_cossim(e_verif, centroids)
-    return np.asarray(sim)
+    return e_enroll, e_verif
+
+
+def sim_from_embeddings(e_verif, e_enroll) -> np.ndarray:
+    """(N, V, D) verification + (N, 2e, D) enrollment embeddings → (N, V, N)
+    similarity matrix (``train_speech_embedder.py:161-165``).
+
+    NB the own-speaker diagonal follows the reference's ``get_cossim`` quirk
+    (``GE2E/utils.py:36-46``): ``sim[j, i, j]`` is the cosine against the
+    leave-one-out mean of speaker j's *verification* embeddings — the
+    enrollment centroids only drive the impostor (off-diagonal) entries. The
+    diagonal therefore depends on the composition of the verification set
+    passed in; see ``run_ge2e_evaluation`` for why that matters."""
+    from spoofsv_tpu.models.ge2e import get_centroids, get_cossim
+
+    return np.asarray(get_cossim(e_verif, get_centroids(e_enroll)))
+
+
+def build_sim_matrix(embedder, emb_params, batch: np.ndarray,
+                     enroll_num: int) -> np.ndarray:
+    """(N, M, F, T) test batch → similarity matrix (N, M-2e, N)
+    (``GE2E/train_speech_embedder.py:131-165``)."""
+    e_enroll, e_verif = embed_test_batch(embedder, emb_params, batch, enroll_num)
+    return sim_from_embeddings(e_verif, e_enroll)
 
 
 def eer_sweep(sim: np.ndarray, enroll_num: int, with_spoof: bool = True
@@ -440,17 +459,24 @@ def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
     mixed test (EER + SR-at-EER), no-spoof test (clean threshold), then the
     final average spoof rate of saved mixed simmats at the clean threshold.
 
-    The no-spoof threshold comes from one of two equivalent formulations:
+    The no-spoof threshold comes from one of two formulations:
 
     * **staged** (``nospoof_data`` = glob over the staged ``test_nospoof``
       copy, e.g. ``<test_root>/ivector_data/test_nospoof/*/*.wav``): the copy
       gets its own TISV preprocess + similarity matrices, exactly like the
       reference's second ``test_nospoof`` pass;
-    * **slice** (default fast path): the first ``2·eval_num`` verification
-      rows of the mixed simmat — numerically identical when the staging puts
-      real crops first (it does: real utterances get the low ``W###``
-      indices, ``spoofgen.py``), which the staged/slice equivalence test
-      asserts.
+    * **slice** (default fast path): re-run the cossim on the first
+      ``2·eval_num`` verification *embeddings* only (the staging puts real
+      crops first: real utterances get the low ``W###`` indices,
+      ``spoofgen.py``). The slice must happen on the embeddings BEFORE the
+      cossim, never on the mixed simmat: the reference's ``get_cossim``
+      (``GE2E/utils.py:36-46``) computes own-speaker diagonals against the
+      leave-one-out mean of the *verification* set, so a mixed simmat's
+      diagonal is contaminated by the spoof rows (the round-2 campaign
+      measured 0.50 vs the staged 0.80 on the adversarial staging from
+      exactly this). Slicing the embeddings reproduces the staged
+      computation bit-for-bit whenever the staged TISV needed no
+      crop-duplication padding (it is the same crops through the same math).
     """
     from spoofsv_tpu.models.ge2e import SpeechEmbedder
 
@@ -469,15 +495,20 @@ def run_ge2e_evaluation(ge2e: GE2EConfig, enroll_num: int = 3,
     slice_thresholds = []
     for e in range(n_epochs):
         for bi, batch in enumerate(batcher.ordered_batches(ge2e.test.N)):
-            sim = build_sim_matrix(embedder, params, batch, enroll_num)
+            e_enroll, e_verif = embed_test_batch(embedder, params, batch,
+                                                 enroll_num)
+            sim = sim_from_embeddings(e_verif, e_enroll)
             np.save(os.path.join(ge2e.save_simmat_dir,
                                  f"simmat_e{e+1}_b{bi+1}.npy"), sim)
             simmats.append(sim)
             r = eer_sweep(sim, enroll_num, with_spoof=True)
             mixed_results.append(r)
-            # slice formulation: the first 2·eval real verification rows
-            r_ns = eer_sweep(sim[:, : 2 * eval_num], enroll_num,
-                             with_spoof=False)
+            # slice formulation: cossim re-run on the real verification
+            # embeddings ONLY (slicing the mixed simmat instead would keep
+            # spoof-contaminated leave-one-out diagonals — see docstring)
+            sim_real = sim_from_embeddings(e_verif[:, : 2 * eval_num],
+                                           e_enroll)
+            r_ns = eer_sweep(sim_real, enroll_num, with_spoof=False)
             slice_thresholds.append(r_ns["thresh"])
             if verbose:
                 print(f"epoch {e+1} batch {bi+1}: EER={r['EER']:.4f} "

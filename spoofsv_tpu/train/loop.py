@@ -217,7 +217,16 @@ class Trainer:
                  pattern: str = "conditional", adversarial: bool = False,
                  gan_type: str = "wgan-gp", disc_model=None,
                  ctime: str = "dev", use_masks: bool = False,
-                 validate_with_decode: bool = True, metrics_every: int = 1):
+                 validate_with_decode: bool = True, metrics_every: int = 1,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` for data-parallel training —
+        params/opt state replicated, batches sharded over the ``data`` axis,
+        XLA inserts the gradient all-reduce over ICI. The TPU-native
+        equivalent of the reference's ``DataParallel`` wrap gated by
+        ``MULTI_GPU`` (``train/ordinary.py:165-173``, ``config.json:34``)."""
+        self.mesh = mesh
+        self._n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self._warned_uneven = False
         self.metrics_every = max(1, metrics_every)
         self.cfg = cfg
         self.gen_model = gen_model
@@ -252,11 +261,17 @@ class Trainer:
     # -- lifecycle ----------------------------------------------------------
     def init(self, rng, batch):
         self.state = self.init_fn(rng, batch)
+        if self.mesh is not None:
+            from spoofsv_tpu.parallel.mesh import replicate_tree
+            self.state = replicate_tree(self.state, self.mesh)
         return self.state
 
     def resume(self, path: str, example_batch):
         target = self.init_fn(jax.random.PRNGKey(0), example_batch)
         self.state, meta = self.ckpt.restore(path, target)
+        if self.mesh is not None:
+            from spoofsv_tpu.parallel.mesh import replicate_tree
+            self.state = replicate_tree(self.state, self.mesh)
         self.iteration = int(meta.get("iteration", 0))
         self.epoch = int(meta.get("epoch", 0))
         self.loss_val_log = meta.get("loss_val_log", [])
@@ -317,6 +332,29 @@ class Trainer:
     def _gen_params(self):
         return (self.state.gen_params if self.adversarial else self.state.params)
 
+    def _place_batch(self, batch):
+        """Place one batch for training. Without a mesh: plain device arrays.
+        With a mesh: shard the batch dim over the ``data`` axis (a no-op for
+        batches a mesh-aware loader already placed). Batches whose leading dim
+        does not divide the data-axis size are trimmed to the largest multiple
+        (the reference's ``DataParallel`` scatters uneven chunks; XLA sharding
+        requires even ones — with per-epoch shuffling no example is
+        systematically dropped)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from spoofsv_tpu.parallel.mesh import shard_batch
+        n = next(iter(batch.values())).shape[0]
+        keep = (n // self._n_shards) * self._n_shards
+        if keep == 0:
+            return None
+        if keep != n:
+            if not self._warned_uneven:
+                print(f"[mesh] trimming uneven batch {n} -> {keep} "
+                      f"({self._n_shards} data shards)")
+                self._warned_uneven = True
+            batch = {k: v[:keep] for k, v in batch.items()}
+        return shard_batch(batch, self.mesh)
+
     # -- validation + checkpoint cadence -------------------------------------
     def maybe_validate_and_checkpoint(self, val_batches: Iterable,
                                      train_batch=None) -> Optional[float]:
@@ -350,9 +388,12 @@ class Trainer:
         window_t0 = time.time()
         while self.epoch < max_epochs:
             for batch in train_loader_factory():
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = self._place_batch(batch)
+                if batch is None:  # smaller than the mesh's data axis
+                    continue
                 if self.state is None:
                     self.init(jax.random.PRNGKey(rng_seed), batch)
+                    window_t0 = time.time()  # exclude init from the window
                 key, sub = jax.random.split(key)
                 m = self.train_iteration(batch, sub)
                 if m:  # fetched on this iteration (see metrics_every)
@@ -378,6 +419,9 @@ class Trainer:
                     if lv is not None and plot:
                         self._flush_loss_logs()
                         plot_losses(self.loss_logs, self.iteration, self.fig_dir)
+                    # validation/checkpoint time must not pollute the
+                    # sec_per_iter window — it only measures train steps
+                    window_t0 = time.time()
                 if max_iterations and self.iteration >= max_iterations:
                     return self.state
             self.epoch += 1

@@ -148,8 +148,44 @@ class TestDvector:
 class TestNospoofStagedEquivalence:
     """The staged test_nospoof pass (own preprocess + simmat,
     GE2E/train_speech_embedder.py:205-298) must agree with the slice fast
-    path (first 2·eval rows of the mixed simmat) on staged data, where the
-    real crops come first by construction (spoofgen W### naming)."""
+    path. The fast path slices the verification EMBEDDINGS before the cossim
+    — slicing the mixed simmat is wrong because the reference ``get_cossim``
+    (GE2E/utils.py:36-46) builds own-speaker diagonals from the verification
+    set's leave-one-out mean, which a mixed (real+spoof) verification set
+    contaminates (the round-2 campaign measured 0.50 vs 0.80 on the
+    adversarial staging from exactly this)."""
+
+    def test_simmat_slice_is_not_embedding_slice(self):
+        """Regression for the r2 campaign divergence: own-diagonals of a
+        sliced mixed simmat differ from the real-only cossim whenever spoof
+        embeddings shift the leave-one-out mean; off-diagonals agree."""
+        from spoofsv_tpu.spoofkit import ge2e_harness as gh
+
+        rng = np.random.default_rng(0)
+        n, es1, v_real, v_spoof, d = 4, 2, 6, 6, 8
+
+        def unit(x):
+            return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+        base = unit(rng.normal(size=(n, 1, d)))
+        e_enroll = unit(base + 0.1 * rng.normal(size=(n, es1, d))).astype(np.float32)
+        real = unit(base + 0.1 * rng.normal(size=(n, v_real, d)))
+        spoof = unit(-base + 0.1 * rng.normal(size=(n, v_spoof, d)))  # far mode
+        e_verif = np.concatenate([real, spoof], axis=1).astype(np.float32)
+
+        sim_mixed = gh.sim_from_embeddings(e_verif, e_enroll)
+        sim_real = gh.sim_from_embeddings(e_verif[:, :v_real], e_enroll)
+
+        own_sliced = np.stack([sim_mixed[j, :v_real, j] for j in range(n)])
+        own_fast = np.stack([sim_real[j, :, j] for j in range(n)])
+        assert np.abs(own_sliced - own_fast).max() > 0.1, \
+            "spoof rows must shift the mixed leave-one-out diagonal"
+        # impostor entries are driven by enrollment centroids only → equal
+        for j in range(n):
+            for k in range(n):
+                if j != k:
+                    np.testing.assert_allclose(sim_mixed[j, :v_real, k],
+                                               sim_real[j, :, k], atol=1e-6)
 
     def test_staged_matches_slice(self, tmp_path):
         import dataclasses
@@ -218,11 +254,9 @@ class TestNospoofStagedEquivalence:
             ge2e, enroll_num=enroll, eval_num=ev, model_path=ck,
             epochs=1, verbose=False,
             nospoof_data=os.path.join(ns_root, "*", "*.wav"), seed=0)
-        # identical crops → identical sims up to batch-shape float rounding;
-        # thresholds may differ by at most one 0.01 sweep step (the reference
-        # has the same property: test_nospoof re-embeds the same data)
-        assert abs(res["clean_threshold"]
-                   - res["clean_threshold_slice"]) <= 0.0100001
+        # identical crops through identical math (the fast path re-runs the
+        # cossim on the real-only embeddings) → exactly equal thresholds
+        assert res["clean_threshold"] == res["clean_threshold_slice"]
         for k in ("EER", "spoof_rate", "gt_FRR"):
             assert np.isfinite(res[k])
 
