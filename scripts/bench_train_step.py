@@ -30,7 +30,7 @@ T, NTXT = 200, 100
 K = 20  # chained steps per fetch
 
 
-def bench(B: int, dtype):
+def bench(B: int, dtype, mesh=None):
     cfg = Config().replace(batch_size=B)
     rng = np.random.default_rng(0)
     batch = dict(
@@ -38,6 +38,9 @@ def bench(B: int, dtype):
         text=jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (B, NTXT)), jnp.int32),
         spk=jnp.asarray(rng.normal(size=(B, cfg.spk_emb_dim)), jnp.float32),
     )
+    if mesh is not None:
+        from spoofsv_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(batch, mesh)
     gen = MelSyn(vocab_len=cfg.vocab_len, condition=True,
                  spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
                  freq_bins=80, hidden_dim=cfg.hidden_dim, dtype=dtype)
@@ -46,6 +49,9 @@ def bench(B: int, dtype):
     init_fn, step_fn = make_ordinary_step(gen, cfg, "train_text2mel",
                                           donate=False)
     state = init_fn(jax.random.PRNGKey(0), batch)
+    if mesh is not None:
+        from spoofsv_tpu.parallel.mesh import replicate_tree
+        state = replicate_tree(state, mesh)
 
     def run_chain(step, state, n):
         m = None
@@ -65,6 +71,9 @@ def bench(B: int, dtype):
                                                    "train_text2mel",
                                                    donate=False)
     astate = ainit(jax.random.PRNGKey(1), batch)
+    if mesh is not None:
+        from spoofsv_tpu.parallel.mesh import replicate_tree
+        astate = replicate_tree(astate, mesh)
     astate, _ = g_step(astate, batch, jax.random.PRNGKey(0))
     astate, m = d_step(astate, batch, jax.random.PRNGKey(0))
     _ = float(m["wd"])
@@ -83,10 +92,24 @@ def bench(B: int, dtype):
 
 
 def main():
+    argv = sys.argv[1:]
+    mesh = None
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+        from spoofsv_tpu.parallel.mesh import force_cpu_backend, make_mesh
+        # decide from the env var, NOT len(jax.devices()): probing devices
+        # initializes the backend before the host-device-count flag can apply
+        if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            force_cpu_backend(n)
+        mesh = make_mesh(n)
+        print(f"mesh: data-parallel over {n} devices "
+              f"(per-chip batch = B/{n})", flush=True)
     print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
-    sizes = [int(s) for s in sys.argv[1:]] or [16, 64, 128]
+    sizes = [int(s) for s in argv] or [16, 64, 128]
     for B in sizes:
-        bench(B, jnp.bfloat16)
+        bench(B, jnp.bfloat16, mesh=mesh)
 
 
 if __name__ == "__main__":

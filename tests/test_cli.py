@@ -59,6 +59,37 @@ class TestTrainingSmoke:
         assert len(train_steps) >= 5
         assert all(np.isfinite(m["loss"]) for m in train_steps)
 
+    def test_mesh_training_via_cli(self, mini_corpus, tmp_path):
+        """Data-parallel training through the REAL CLI on the 8-device mesh
+        (--mesh 8 + --device_data on → sharded DeviceReplayLoader batches):
+        the production path the reference gates on MULTI_GPU
+        (train/ordinary.py:165-173, config.json:34)."""
+        from spoofsv_tpu.cli import main as cli_main
+
+        cfg_dict = mini_corpus.replace(
+            src_root_dir=str(tmp_path) + "/",
+            hidden_dim=16, text_emb_dim=8, ssrn_dim=8, disc_dim=8,
+            batch_size=4, val_every_iter=4, max_epochs=20,
+        ).to_reference_dict()
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(json.dumps(cfg_dict))
+
+        # mini corpus has 4 train examples → 4-wide batches over 4 shards
+        cli_main.main(["train_text2mel", "-C", str(cfg_path), "-T", "mesh8",
+                       "--max_iterations", "5", "--mesh", "4",
+                       "--device_data", "on"])
+
+        ckpt_base = os.path.join(str(tmp_path), "checkpoints", "conditional",
+                                 "not_adversarial", "mesh8")
+        metrics = [json.loads(l) for l in
+                   open(os.path.join(ckpt_base, "metrics.jsonl"))]
+        train_steps = [m for m in metrics if m.get("split") == "train"]
+        assert len(train_steps) >= 4
+        assert all(np.isfinite(m["loss"]) for m in train_steps)
+        # validation (AR decode with replicated params) + checkpoint ran
+        assert any(e.startswith("text2mel_iteration_")
+                   for e in os.listdir(ckpt_base))
+
     def test_adversarial_ssrn_via_cli(self, mini_corpus, tmp_path):
         from spoofsv_tpu.cli import main as cli_main
 
