@@ -7,6 +7,7 @@ by O(N^2 M) pure-Python loss loops on CPU (GE2E/utils.py:36-55).
 Fetch-amortized over K chained steps.
 """
 
+import sys
 import time
 
 import jax
@@ -52,5 +53,73 @@ def main():
               f"({utts/dt:7.0f} utts/s) loss={lf:.3f}", flush=True)
 
 
+def bench_loop():
+    """Full training-loop comparison at reference dims (N=6, M=50, 120x40
+    crops): host SpeakerBatcher + per-step float(loss) fetch (the round-2
+    campaign loop, ~0.53 s/step through the tunnel) vs DeviceSpeakerBank +
+    donated buffers + amortized loss fetch."""
+    import tempfile
+
+    from spoofsv_tpu.models import GE2ELoss, SpeechEmbedder
+    from spoofsv_tpu.spoofkit.ge2e_harness import (DeviceSpeakerBank,
+                                                   SpeakerBatcher,
+                                                   make_ge2e_train_step)
+
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    n_spk, m_utt, n_speakers_total, crops = 6, 50, 40, 120
+    rng = np.random.default_rng(0)
+    tisv = tempfile.mkdtemp(prefix="ge2e_bench_tisv_")
+    for s in range(n_speakers_total):
+        np.save(f"{tisv}/speaker{s}.npy",
+                rng.normal(size=(crops, 40, 120)).astype(np.float32))
+
+    emb = SpeechEmbedder(hidden=768, num_layers=3, proj=256)
+    steps = 40
+    results = {}
+    # device phase FIRST: running it after the host phase's 40 sync fetches
+    # inflates its measurement 93->290 ms/step through the tunnel (residual
+    # client state) — another instance of the tunnel measurement traps
+    for tag in ("device", "host"):
+        device_data = tag == "device"
+        init_fn, step_fn = make_ge2e_train_step(
+            emb, GE2ELoss(), lr=0.01, n_speakers=n_spk, donate=device_data)
+        if device_data:
+            batcher = DeviceSpeakerBank(tisv, m_utt, seed=0)
+        else:
+            batcher = SpeakerBatcher(tisv, m_utt, shuffle=True, seed=0)
+        b0 = np.asarray(batcher.sample_batch(n_spk)).reshape(
+            n_spk, m_utt, 120, 40)
+        params, opt_state = init_fn(jax.random.PRNGKey(0), b0)
+        # warm up twice (compile + device-chain respecialization)
+        for _ in range(2):
+            batch = batcher.sample_batch(n_spk)
+            if not device_data:
+                batch = jnp.asarray(batch)
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+            _ = float(loss)
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(steps):
+            batch = batcher.sample_batch(n_spk)
+            if not device_data:
+                batch = jnp.asarray(batch)
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+            if device_data:
+                pending.append(loss)
+                if (i + 1) % 30 == 0:      # log_interval cadence
+                    _ = np.asarray(jnp.stack(pending)); pending = []
+            else:
+                _ = float(loss)            # the reference's per-step fetch
+        if pending:
+            _ = np.asarray(jnp.stack(pending))
+        dt = (time.perf_counter() - t0) / steps
+        results[tag] = dt
+        print(f"{tag:6s}: {dt*1e3:7.1f} ms/step", flush=True)
+    print(f"speedup: {results['host']/results['device']:.2f}x", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--loop" in sys.argv:
+        bench_loop()
+    else:
+        main()

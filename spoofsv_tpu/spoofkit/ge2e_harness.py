@@ -210,11 +210,70 @@ class SpeakerBatcher:
             yield np.stack(out)
 
 
+class DeviceSpeakerBank:
+    """Device-resident TISV speaker bank for the GE2E training hot loop.
+
+    ``SpeakerBatcher.sample_batch`` assembles every (N, M, T, F) batch on the
+    host (~6 MB at reference dims) and uploads it per step — through a
+    tunneled TPU transport that dominated the campaign's GE2E stage
+    (~0.53 s/step for a ~100 ms forward). This bank uploads ALL speaker
+    crops once (one flat (total, T, F) array) and per step ships only the
+    N·M int32 gather indices; the batch is gathered on device inside one
+    jitted program. Sampling draws from the SAME host rng sequence as
+    ``SpeakerBatcher`` (speaker ``choice`` then per-speaker ``integers``), so
+    training batches — and hence the loss curve — are bit-identical to the
+    host path (``GE2E/data_load.py:48-86``)."""
+
+    def __init__(self, path: str, m: int, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.files = sorted(os.listdir(path),
+                            key=lambda x: int(x[7:-4]) if x[7:-4].isdigit() else 0)
+        self.m = m
+        self.rng = np.random.default_rng(seed)
+        arrays = [np.load(os.path.join(path, f)) for f in self.files]
+        self.counts = np.array([a.shape[0] for a in arrays])
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)[:-1]])
+        flat = np.concatenate([np.transpose(a, (0, 2, 1)) for a in arrays])
+        self._flat = jax.device_put(jnp.asarray(flat, jnp.float32))
+
+        @jax.jit
+        def gather(flat_arr, idx):
+            return jnp.take(flat_arr, idx, axis=0)
+
+        self._gather = gather
+        self._jnp = jnp
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def sample_batch(self, n: int):
+        """Device-resident (N·M, T, F) batch (reshape to (N, M, ...) is done
+        by the consumer inside its own jit to avoid an extra dispatch)."""
+        spk = self.rng.choice(len(self.files), size=n, replace=False)
+        idx = np.empty((n, self.m), np.int64)
+        for i, s in enumerate(spk):
+            idx[i] = self.offsets[s] + self.rng.integers(0, self.counts[s],
+                                                         self.m)
+        return self._gather(self._flat,
+                            self._jnp.asarray(idx.reshape(-1), self._jnp.int32))
+
+
 # ----------------------------------------------------------------------
 # Training
 # ----------------------------------------------------------------------
 
-def make_ge2e_train_step(embedder, loss_mod, lr: float):
+def make_ge2e_train_step(embedder, loss_mod, lr: float,
+                         n_speakers: Optional[int] = None,
+                         donate: bool = False):
+    """``n_speakers``: when set, ``step_fn`` also accepts flat
+    ``(N·M, T, F)`` batches (the :class:`DeviceSpeakerBank` layout) and
+    reshapes inside the jit — no extra host dispatch. ``donate``: donate
+    params/opt state buffers (in-place updates; callers must not reuse the
+    passed-in state afterwards)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -236,8 +295,11 @@ def make_ge2e_train_step(embedder, loss_mod, lr: float):
         params = {"embedder": p_emb, "loss": p_loss}
         return params, tx.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step_fn(params, opt_state, batch):
+        if batch.ndim == 3:
+            assert n_speakers, "flat batches need n_speakers at factory time"
+            batch = batch.reshape(n_speakers, -1, *batch.shape[1:])
         n, m = batch.shape[0], batch.shape[1]
 
         def loss_fn(p):
@@ -259,9 +321,21 @@ def make_ge2e_train_step(embedder, loss_mod, lr: float):
 
 
 def train_ge2e(ge2e: GE2EConfig, max_epochs: Optional[int] = None,
-               seed: int = 0, verbose: bool = True):
-    """Full GE2E training loop (``GE2E/train_speech_embedder.py:40-111``)."""
+               seed: int = 0, verbose: bool = True,
+               device_data: bool = True):
+    """Full GE2E training loop (``GE2E/train_speech_embedder.py:40-111``).
+
+    TPU-native hot loop (``device_data=True``, default): the preprocessed
+    speaker crops live on device (:class:`DeviceSpeakerBank` — per-step
+    host→device traffic is N·M int32 indices), the step donates its
+    params/opt buffers, and losses stay device-resident between log points
+    (each ``float(loss)`` fetch synchronizes every queued step on tunneled
+    transports — the reference fetches per step, which cost the round-2
+    campaign ~0.53 s/step for a ~100 ms forward). Batches are drawn from the
+    same rng sequence as ``SpeakerBatcher``, so the loss curve is
+    bit-identical to the host path."""
     import jax
+    import jax.numpy as jnp
 
     from spoofsv_tpu.models.ge2e import GE2ELoss, SpeechEmbedder
 
@@ -269,35 +343,58 @@ def train_ge2e(ge2e: GE2EConfig, max_epochs: Optional[int] = None,
                               num_layers=ge2e.model.num_layer,
                               proj=ge2e.model.proj)
     loss_mod = GE2ELoss()
-    batcher = SpeakerBatcher(ge2e.data.train_path, ge2e.train.M, shuffle=True,
-                             seed=seed)
-    init_fn, step_fn = make_ge2e_train_step(embedder, loss_mod, ge2e.train.lr)
+    n = ge2e.train.N
+    if device_data:
+        batcher = DeviceSpeakerBank(ge2e.data.train_path, ge2e.train.M,
+                                    seed=seed)
+    else:
+        batcher = SpeakerBatcher(ge2e.data.train_path, ge2e.train.M,
+                                 shuffle=True, seed=seed)
+    init_fn, step_fn = make_ge2e_train_step(embedder, loss_mod, ge2e.train.lr,
+                                            n_speakers=n,
+                                            donate=device_data)
 
-    batch = batcher.sample_batch(ge2e.train.N)
-    params, opt_state = init_fn(jax.random.PRNGKey(seed), batch)
+    batch0 = batcher.sample_batch(n)
+    if device_data:
+        batch0 = jnp.reshape(batch0, (n, -1, *batch0.shape[1:]))
+    params, opt_state = init_fn(jax.random.PRNGKey(seed), np.asarray(batch0))
     os.makedirs(ge2e.train.checkpoint_dir, exist_ok=True)
 
     epochs = max_epochs or ge2e.train.epochs
     iteration = 0
-    batches_per_epoch = max(1, len(batcher) // ge2e.train.N)
-    import jax.numpy as jnp
+    batches_per_epoch = max(1, len(batcher) // n)
+
+    def log(msg):
+        print(msg)
+        if ge2e.train.log_file:
+            os.makedirs(os.path.dirname(ge2e.train.log_file) or ".",
+                        exist_ok=True)
+            with open(ge2e.train.log_file, "a") as f:
+                f.write(msg + "\n")
+
     for e in range(epochs):
         total = 0.0
+        fetched = 0
+        pending: List = []   # device-held losses since the last fetch
         for b in range(batches_per_epoch):
-            batch = jnp.asarray(batcher.sample_batch(ge2e.train.N))
+            batch = batcher.sample_batch(n)
+            if not device_data:
+                batch = jnp.asarray(batch)
             params, opt_state, loss = step_fn(params, opt_state, batch)
-            total += float(loss)
+            pending.append(loss)
             iteration += 1
             if verbose and (b + 1) % ge2e.train.log_interval == 0:
-                msg = (f"Epoch:{e+1}[{b+1}/{batches_per_epoch}],"
-                       f"Iteration:{iteration}\tLoss:{float(loss):.4f}\t"
-                       f"TLoss:{total/(b+1):.4f}")
-                print(msg)
-                if ge2e.train.log_file:
-                    os.makedirs(os.path.dirname(ge2e.train.log_file) or ".",
-                                exist_ok=True)
-                    with open(ge2e.train.log_file, "a") as f:
-                        f.write(msg + "\n")
+                vals = np.asarray(jnp.stack(pending))  # one stacked fetch
+                total += float(vals.sum())
+                fetched += len(vals)
+                pending = []
+                log(f"Epoch:{e+1}[{b+1}/{batches_per_epoch}],"
+                    f"Iteration:{iteration}\tLoss:{float(vals[-1]):.4f}\t"
+                    f"TLoss:{total/fetched:.4f}")
+        if pending and (e + 1) % ge2e.train.checkpoint_interval == 0:
+            # materialize before snapshotting so the checkpoint isn't racing
+            # queued donated-buffer updates
+            jax.block_until_ready(pending[-1])
         if (e + 1) % ge2e.train.checkpoint_interval == 0:
             _save_ge2e_ckpt(params, ge2e.train.checkpoint_dir,
                             f"ckpt_epoch_{e+1}.npz")

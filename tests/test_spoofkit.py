@@ -1,5 +1,8 @@
 """Spoofkit unit tests: EER sweep goldens, curves, VAD, d-vector alignment."""
 
+import os
+
+import jax
 import numpy as np
 import pytest
 
@@ -266,6 +269,59 @@ class TestNospoofStagedEquivalence:
             epochs=1, verbose=False)
         assert res_slice["clean_threshold"] == res["clean_threshold_slice"]
         assert res_slice["EER"] == res["EER"]
+
+
+class TestDeviceSpeakerBank:
+    """The device-resident GE2E training path must be loss-curve-identical to
+    the host SpeakerBatcher path (same rng sequence, same crops, same step)."""
+
+    def _make_tisv(self, d, n_spk=4, n_crops=6, t=16, f=8):
+        rng = np.random.default_rng(1)
+        os.makedirs(d, exist_ok=True)
+        for s in range(n_spk):
+            # stored layout is (U, nmels, frames) like save_spectrogram_tisv
+            np.save(os.path.join(d, f"speaker{s}.npy"),
+                    rng.normal(size=(n_crops + s, f, t)).astype(np.float32))
+
+    def test_sampling_matches_host_batcher(self, tmp_path):
+        from spoofsv_tpu.spoofkit.ge2e_harness import (DeviceSpeakerBank,
+                                                       SpeakerBatcher)
+
+        d = str(tmp_path / "tisv")
+        self._make_tisv(d)
+        host = SpeakerBatcher(d, 3, shuffle=True, seed=7)
+        dev = DeviceSpeakerBank(d, 3, seed=7)
+        for _ in range(4):
+            hb = host.sample_batch(2)                      # (N, M, T, F)
+            db = np.asarray(dev.sample_batch(2)).reshape(hb.shape)
+            np.testing.assert_array_equal(hb, db)
+
+    def test_train_ge2e_device_equals_host(self, tmp_path):
+        import dataclasses
+
+        from spoofsv_tpu.config import GE2EConfig
+        from spoofsv_tpu.spoofkit import ge2e_harness as gh
+
+        d = str(tmp_path / "tisv")
+        self._make_tisv(d)
+        ge2e = GE2EConfig()
+        results = {}
+        for tag, device_data in (("host", False), ("dev", True)):
+            ck = str(tmp_path / f"ck_{tag}")
+            g = dataclasses.replace(
+                ge2e,
+                data=dataclasses.replace(ge2e.data, train_path=d),
+                model=dataclasses.replace(ge2e.model, hidden=8, num_layer=1,
+                                          proj=4),
+                train=dataclasses.replace(ge2e.train, N=2, M=3, epochs=2,
+                                          checkpoint_interval=1000,
+                                          checkpoint_dir=ck, log_file=None))
+            params = gh.train_ge2e(g, max_epochs=2, seed=3, verbose=False,
+                                   device_data=device_data)
+            results[tag] = jax.tree_util.tree_leaves(params)
+        for a, b in zip(results["host"], results["dev"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
 
 
 class TestVadCollectorParity:
