@@ -30,8 +30,20 @@ class ASVspoofSource:
     """
 
     def __init__(self, cfg: Config, step: str, ctime: str,
-                 bonafide_cap: int = 20000):
+                 bonafide_cap: int = 20000,
+                 cache_dir: Optional[str] = "auto"):
+        """``cache_dir``: feature cache directory (``"auto"`` →
+        ``<src_root>/cm_spec``, ``None`` → disabled). The reference recomputes
+        load→trim→STFT→mel from disk every epoch
+        (``anti_spoofing/spoof_conv1d.py:44-68`` has no cache; the r2 campaign
+        CM stage spent 1643 s mostly here) — this mirrors the TTS pipeline's
+        atomic ``.npy`` cache instead."""
         self.cfg = cfg
+        if cache_dir == "auto":
+            cache_dir = os.path.join(cfg.src_root_dir, "cm_spec")
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
         proto_fn = os.path.join(cfg.data_root_dir, "data_path", "ordinary",
                                 "wav.path.train")
         with open(proto_fn) as f:
@@ -68,7 +80,7 @@ class ASVspoofSource:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, float]:
+    def _compute(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         cfg = self.cfg
         y, sr = dsp_host.load_wav(self.files[idx], sr=16000)
         y, _ = dsp_host.trim_silence(y, 22.0)
@@ -83,8 +95,47 @@ class ASVspoofSource:
         r = cfg.mel.reduction
         tr = mel.shape[1] // r
         return (mel_n[:, : tr * r : r].T.astype(np.float32),
-                lin_n[:, : tr * r].T.astype(np.float32),
-                float(self.labels[idx]))
+                lin_n[:, : tr * r].T.astype(np.float32))
+
+    def _cache_path(self, idx: int, feat: str) -> str:
+        import hashlib
+
+        key = hashlib.sha1(self.files[idx].encode()).hexdigest()[:20]
+        return os.path.join(self.cache_dir, f"{key}.{feat}.npy")
+
+    def get(self, idx: int, feat: str = "mel") -> Tuple[np.ndarray, float]:
+        """One feature kind for one utterance, through the cache."""
+        assert feat in ("mel", "lin")
+        label = float(self.labels[idx])
+        if self.cache_dir:
+            p = self._cache_path(idx, feat)
+            if os.path.exists(p):
+                return np.load(p), label
+        mel, lin = self._compute(idx)
+        out = mel if feat == "mel" else lin
+        if self.cache_dir:
+            # cache only the requested kind: lin arrays are ~25x mel's size
+            # and a CM run uses a single feature kind throughout
+            path = self._cache_path(idx, feat)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            np.save(tmp, out)
+            os.replace(tmp + ".npy", path)
+        return out, label
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, float]:
+        mel, label = self.get(idx, "mel")
+        lin, _ = self.get(idx, "lin")
+        return mel, lin, label
+
+    def warm_cache(self, feat: str = "mel", workers: int = 8) -> None:
+        """Precompute all features into the cache (threaded, like
+        ``TTSDataSource.warm_cache``)."""
+        if not self.cache_dir:
+            return
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            list(ex.map(lambda i: self.get(i, feat), range(len(self))))
 
 
 def batches(source: ASVspoofSource, batch_size: int, bucket_frames,
@@ -116,8 +167,7 @@ def batches(source: ASVspoofSource, batch_size: int, bucket_frames,
                 "idx": np.asarray([it[2] for it in items], np.int64)}
 
     for idx in order:
-        mel, lin, label = source[int(idx)]
-        m = mel if feat == "mel" else lin
+        m, label = source.get(int(idx), feat)
         t = m.shape[0]
         i = bisect.bisect_left(buckets, t)
         b = buckets[min(i, len(buckets) - 1)]

@@ -97,6 +97,56 @@ class TestCurves:
         assert frrs == [0.0, 0.0, 1.0]        # real rejected only at 5.0
 
 
+class TestCmFeatureCache:
+    def test_second_access_hits_cache(self, tmp_path, monkeypatch):
+        """ASVspoofSource caches features (the reference recomputes
+        load->STFT->mel from disk every epoch, data/dataset.py-style gap);
+        a second epoch must cost zero decode/STFT work."""
+        from spoofsv_tpu.config import Config
+        from spoofsv_tpu.dsp import host as dsp_host
+        from spoofsv_tpu.spoofkit.antispoof import ASVspoofSource
+
+        root = tmp_path
+        os.makedirs(root / "data_path" / "ordinary")
+        sr = 16000
+        rng = np.random.default_rng(0)
+        wavs = []
+        for i in range(3):
+            p = str(root / f"utt{i}.wav")
+            y = 0.3 * np.sin(2 * np.pi * (220 + 40 * i)
+                             * np.arange(sr // 2) / sr)
+            dsp_host.write_wav(p, (y + 0.01 * rng.normal(size=y.size)
+                                   ).astype(np.float32), sr)
+            wavs.append(p)
+        (root / "data_path" / "ordinary" / "wav.path.train").write_text(
+            "\n".join(wavs) + "\n")
+        cfg = Config().replace(data_root_dir=str(root) + "/",
+                               src_root_dir=str(root) + "/",
+                               antispoof_dir=str(root / "nope") + "/")
+
+        src = ASVspoofSource(cfg, "train", "t",
+                             cache_dir=str(root / "cm_spec"))
+        first = [src.get(i, "mel")[0] for i in range(len(src))]
+
+        calls = {"n": 0}
+        orig = ASVspoofSource._compute
+
+        def counting(self, idx):
+            calls["n"] += 1
+            return orig(self, idx)
+
+        monkeypatch.setattr(ASVspoofSource, "_compute", counting)
+        second = [src.get(i, "mel")[0] for i in range(len(src))]
+        assert calls["n"] == 0, "second epoch must not recompute features"
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
+        # other feature kind computes once, then caches too
+        _ = [src.get(i, "lin")[0] for i in range(len(src))]
+        assert calls["n"] == len(src)
+        _ = [src.get(i, "lin")[0] for i in range(len(src))]
+        assert calls["n"] == len(src)
+
+
 class TestCmEer:
     def test_separable(self):
         labels = np.asarray([1, 1, 1, 0, 0, 0])
