@@ -106,10 +106,16 @@ def main():
         mesh = make_mesh(n)
         print(f"mesh: data-parallel over {n} devices "
               f"(per-chip batch = B/{n})", flush=True)
-    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    dtype = jnp.bfloat16
+    if "--dtype" in argv:
+        i = argv.index("--dtype")
+        dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[argv[i + 1]]
+        argv = argv[:i] + argv[i + 2:]
+    print("backend:", jax.default_backend(), jax.devices()[0],
+          "dtype:", dtype.__name__, flush=True)
     sizes = [int(s) for s in argv] or [16, 64, 128]
     for B in sizes:
-        bench(B, jnp.bfloat16, mesh=mesh)
+        bench(B, dtype, mesh=mesh)
 
 
 if __name__ == "__main__":

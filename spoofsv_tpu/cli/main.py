@@ -29,6 +29,19 @@ def inference_dtype(cfg):
     return jnp.float32
 
 
+def training_dtype(cfg):
+    """Compute dtype for training-path models: ``cfg.tpu.train_compute_dtype``
+    on the TPU backend (default f32 = reference parity; bf16 opt-in). Params
+    and optimizer state stay f32 either way — only the MXU compute changes."""
+    import jax
+    import jax.numpy as jnp
+
+    if (jax.default_backend() == "tpu"
+            and cfg.tpu.train_compute_dtype == "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def build_models(cfg, pattern: str, dtype=None):
     import jax.numpy as jnp
 
@@ -81,7 +94,8 @@ def run_training(args, cfg, spec_dir: Optional[str]) -> None:
                                            TTSDataSource)
     from spoofsv_tpu.train.loop import Trainer
 
-    melsyn, ssrn, mel_disc, lin_disc = build_models(cfg, args.pattern)
+    melsyn, ssrn, mel_disc, lin_disc = build_models(
+        cfg, args.pattern, dtype=training_dtype(cfg))
     if args.step == "train_text2mel":
         gen, disc = melsyn, mel_disc
         with_lin = False

@@ -55,6 +55,11 @@ class TPUConfig:
     """TPU-native knobs with no reference counterpart."""
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype on the MXU
     param_dtype: str = "float32"
+    # Training compute dtype (params/optimizer stay f32 regardless). Default
+    # f32 = reference parity; "bfloat16" compiles the fused train steps at
+    # bf16 MXU compute (~20-25% step-time win at reference dims — see
+    # docs/PARITY.md) with a loss-trajectory parity test guarding it.
+    train_compute_dtype: str = "float32"
     mesh_data_axis: str = "data"       # 1-D data-parallel mesh axis name
     bucket_frames: Tuple[int, ...] = (80, 120, 160, 200, 240, 325)
     bucket_text: Tuple[int, ...] = (60, 100, 140, 186)
@@ -199,6 +204,11 @@ class Config:
             inference_text2mel_model=g("INFERENCE_TEXT2MEL_MODEL", ""),
             inference_ssrn_model=g("INFERENCE_SSRN_MODEL", ""),
             tts_texts=g("TTS_TEXTS", "./havard.txt"),
+            # "TPU" is a spoofsv_tpu extension section (no reference
+            # counterpart): any TPUConfig field by name, e.g.
+            # {"TPU": {"train_compute_dtype": "bfloat16"}}
+            tpu=TPUConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                             for k, v in d.get("TPU", {}).items()}),
         )
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
@@ -240,6 +250,14 @@ class Config:
             "INFERENCE_TEXT2MEL_MODEL": self.inference_text2mel_model,
             "INFERENCE_SSRN_MODEL": self.inference_ssrn_model,
             "TTS_TEXTS": self.tts_texts,
+            # extension section, emitted only when it deviates from defaults
+            # (keeps the exported schema byte-compatible with the reference
+            # for untouched configs)
+            **({"TPU": {
+                f.name: getattr(self.tpu, f.name)
+                for f in dataclasses.fields(TPUConfig)
+                if getattr(self.tpu, f.name) != getattr(TPUConfig(), f.name)
+            }} if self.tpu != TPUConfig() else {}),
         }
 
     def replace(self, **kw: Any) -> "Config":
