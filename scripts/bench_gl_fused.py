@@ -73,9 +73,15 @@ def main():
         m, k, NFFT, HOP, NFFT, n_iter=ITERS))
     a_f, dt_f = timeit("fused pallas griffin_lim", fused, mag, key)
 
-    print(f"speedup: {dt_x / dt_f:.2f}x", flush=True)
+    fused8 = jax.jit(lambda m, k: griffin_lim_fused(
+        m, k, NFFT, HOP, NFFT, n_iter=ITERS, int8_fwd=True))
+    a_8, dt_8 = timeit("fused pallas GL (int8 DFT)", fused8, mag, key)
+
+    print(f"speedup: {dt_x / dt_f:.2f}x (bf16) {dt_x / dt_8:.2f}x (int8)",
+          flush=True)
     print("spectral err xla  :", spectral_err(a_x, mag), flush=True)
     print("spectral err fused:", spectral_err(a_f, mag), flush=True)
+    print("spectral err int8 :", spectral_err(a_8, mag), flush=True)
 
 
 if __name__ == "__main__":

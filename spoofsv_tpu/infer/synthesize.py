@@ -49,7 +49,11 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
                    and cfg.tpu.griffin_lim_precision != "highest"))
 
     @jax.jit
-    def vocode(lin_pred: Array, key: Array) -> Array:
+    def vocode(lin_pred: Array, key: Array, seeds: Optional[Array] = None
+               ) -> Array:
+        """``seeds``: optional per-utterance GL phase seeds (shard_map DP
+        callers draw them globally via ``gl_seeds`` and shard them, so
+        sharded audio is identical to single-device)."""
         x = lin_pred.astype(jnp.float32)
         if cfg.norm.log_feature:
             db = x * cfg.norm.max_db - cfg.norm.max_db + cfg.norm.ref_db
@@ -63,7 +67,8 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
             audio = griffin_lim_fused(
                 spec, key, n_fft, hop, n_fft, n_iter=n_iter,
                 precision=precision,
-                int8_fwd=getattr(cfg.tpu, "griffin_lim_int8", False))
+                int8_fwd=getattr(cfg.tpu, "griffin_lim_int8", False),
+                seeds=seeds)
         else:
             audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft,
                                        n_iter=n_iter, precision=precision)
@@ -122,19 +127,19 @@ class Synthesizer:
         self.ssrn_params = ssrn_params
         self.n_frames = n_frames or cfg.max_frame_num
         impl = getattr(cfg.tpu, "decode_impl", "auto")
-        # the fused kernel is not auto-partitionable under a mesh — data-
-        # parallel synthesis keeps the scan decoder (shard_map wrap is a
-        # future lever)
-        use_pallas_decode = mesh is None and (
+        use_pallas_decode = (
             impl == "pallas" or (impl == "auto"
                                  and jax.default_backend() == "tpu"))
         if use_pallas_decode:
             from spoofsv_tpu.ops.pallas_decode import make_fused_decoder
-            self.decode = make_fused_decoder(melsyn, self.n_frames)
+            self.decode = make_fused_decoder(
+                melsyn, self.n_frames,
+                interpret=jax.default_backend() == "cpu")
         else:
             self.decode = make_decoder(melsyn, self.n_frames)
         self.vocode = make_vocoder(cfg, gl_iters)
         self._ssrn_apply = jax.jit(lambda p, mel: ssrn.apply(p, mel))
+        self._shard_map = mesh is not None and use_pallas_decode
 
         # One fused program for the whole pipeline: decode → SSRN → vocoder.
         # Each separate dispatch through a remote-TPU transport costs tens of
@@ -145,7 +150,30 @@ class Synthesizer:
             audio = self.vocode(lin, key)
             return audio, mel, attn
 
-        self._full = jax.jit(_full)
+        if self._shard_map:
+            # pallas_call is not auto-partitionable under pjit — wrap the
+            # whole per-sample pipeline in shard_map over the data axis so
+            # every device runs the fused kernels on its batch shard. GL
+            # phase seeds are drawn GLOBALLY (gl_seeds) and sharded like the
+            # batch, so DP audio is identical to single-device.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            da = cfg.tpu.mesh_data_axis
+
+            def _full_seeded(p1, p2, text_ids, spk_emb, key, seeds):
+                mel, attn, _ = self.decode(p1, text_ids, spk_emb)
+                lin = ssrn.apply(p2, mel)
+                audio = self.vocode(lin, key, seeds)
+                return audio, mel, attn
+
+            self._full = jax.jit(shard_map(
+                _full_seeded, mesh=mesh,
+                in_specs=(P(), P(), P(da), P(da), P(), P(da)),
+                out_specs=(P(da), P(da), P(da)),
+                check_rep=False))
+        else:
+            self._full = jax.jit(_full)
 
     def mel_to_audio(self, mel: Array, key: Array) -> Array:
         lin = self._ssrn_apply(self.ssrn_params, mel)
@@ -158,5 +186,11 @@ class Synthesizer:
             text_ids = jax.device_put(jnp.asarray(text_ids), self._batch_sh)
             spk_emb = jax.device_put(jnp.asarray(spk_emb), self._batch_sh)
             key = jax.device_put(key, self._rep)
+            if self._shard_map:
+                from spoofsv_tpu.ops.pallas_gl import gl_seeds
+                seeds = jax.device_put(gl_seeds(key, text_ids.shape[0]),
+                                       self._batch_sh)
+                return self._full(self.melsyn_params, self.ssrn_params,
+                                  text_ids, spk_emb, key, seeds)
         return self._full(self.melsyn_params, self.ssrn_params, text_ids,
                           spk_emb, key)

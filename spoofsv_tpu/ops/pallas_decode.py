@@ -339,6 +339,11 @@ def decode_fused(packed: Dict[str, jnp.ndarray], K: jnp.ndarray,
 
     Y = jnp.transpose(y[:, :b, :freq_bins], (1, 0, 2))      # (B, T, F)
     A = jnp.transpose(a[:, :b, :n], (1, 2, 0))              # (B, N, T)
+    # NB: pma is re-derived from the attention AFTER its cast to the kernel
+    # dtype (bf16 in production), whereas the scan decoder returns the
+    # in-loop f32 argmax — bf16 rounding can tie-flip the index. All current
+    # callers discard pma; documented deviation from make_decoder's contract
+    # rather than carrying one more kernel output.
     pma = jnp.argmax(A[:, :, -1], axis=1).astype(jnp.int32)
     return Y, A, pma
 

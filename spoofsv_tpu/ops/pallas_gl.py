@@ -101,7 +101,7 @@ def _tiles_of(Tp: int):
 
 def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
-               wvec, invw_l, invw_r, flip, ana, sedge, eana, *extra,
+               wvec, invw_l, invw_r, flip, ana, sedge, eana, sig, *extra,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
                momentum: float, R: int, int8_fwd: bool):
     N = n_fft
@@ -163,7 +163,7 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         flip[:] = (fi + fj == N // 2 - 1).astype(f32)
 
         if int8_fwd:
-            dftc8, dfts8, inv8c, inv8s = extra
+            dftc8, dfts8, inv8c, inv8s = extra[:4]
             dftc8[:] = jnp.round(jnp.cos(th) * 127.0).astype(jnp.int8)
             dfts8[:] = jnp.round(-jnp.sin(th) * 127.0).astype(jnp.int8)
             inv8c[:] = jnp.round(jnp.cos(th2) * 127.0).astype(jnp.int8)
@@ -175,6 +175,24 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
     fsyn[:] = jnp.zeros_like(fsyn)
     rebre[:] = jnp.zeros_like(rebre)
     rebim[:] = jnp.zeros_like(rebim)
+
+    if int8_fwd:
+        # Hoisted phase-A quantization: mag is loop-invariant, so the int8
+        # operand scale (and the w_k fold) never changes across the 64
+        # iterations. Precompute qm = mag·w_k·(127/rowmax) once — each
+        # iteration's quantize is then a single mul+round (|ang| ≤ 1 keeps
+        # |qm·ang| ≤ 127), and re/im share one dequant scale so their int32
+        # matmul outputs sum BEFORE the only dequant multiply.
+        qm, deqv = extra[4], extra[5]
+        kvec0 = jax.lax.broadcasted_iota(jnp.int32, (1, Fa), 1)
+        wk_vec0 = jnp.where(kvec0 == 0, 1.0, 2.0).astype(f32)
+        for r0, ts in tiles:
+            for ri in range(R):
+                mw = mag_ref[ri, r0:r0 + ts, 0:Fa].astype(f32) * wk_vec0
+                amax = jnp.max(mw, axis=-1, keepdims=True) + f32(1e-20)
+                qm[ri, r0:r0 + ts, :] = (mw * (f32(127.0) / amax)).astype(bf16)
+                deqv[ri, r0:r0 + ts, :] = jnp.broadcast_to(
+                    amax * f32(1.0 / (127.0 * 127.0 * N)), (ts, 128))
 
     # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32 wrap-
     # around multiplies + logical shifts give identical bits)
@@ -198,71 +216,83 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         return jnp.dot(x, fm, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    def _q8_dot(x, mat8, extra_deq=1.0):
-        """Per-row dynamically scaled int8 matmul: round(x·127/rowmax) @ mat8,
-        dequantized by rowmax/127² (× any static factor)."""
-        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True) + f32(1e-20)
-        q = jnp.clip(jnp.round(x * (f32(127.0) / amax)),
-                     -127.0, 127.0).astype(jnp.int8)
-        out = jnp.dot(q, mat8[:], preferred_element_type=jnp.int32)
-        return out.astype(f32) * (amax * f32(extra_deq / (127.0 * 127.0)))
-
     def phase_a(quant: bool):
         """fsyn[f] = irfft(mag·ang)[f] ⊙ w for all frames of all rows.
 
-        ``quant``: int8 inverse-DFT matmuls — the w_k∈{1,2} bin weights fold
-        into the operand (the matrices' 1/N scale would quantize to zero)
-        and 1/N into the dequant. The epilogue's final synthesis always runs
-        the bf16 path (``quant=False``) so the output waveform itself is
-        never quantized.
+        ``quant``: int8 inverse-DFT matmuls with the hoisted loop-invariant
+        operand scale (see the per-utterance init) — per iteration the
+        quantize is one mul+round per component, and the re/im int32 outputs
+        share one dequant. The epilogue's final synthesis always runs the
+        bf16 path (``quant=False``) so the output waveform itself is never
+        quantized.
         """
-        if quant:
-            kvec = jax.lax.broadcasted_iota(jnp.int32, (1, Fa), 1)
-            wk_vec = jnp.where(kvec == 0, 1.0, 2.0).astype(f32)
         for r0, ts in tiles:
             for ri in range(R):
-                m = mag_ref[ri, r0:r0 + ts, :].astype(f32)
-                are = angre_ref[ri, r0:r0 + ts, :].astype(f32)
-                aim = angim_ref[ri, r0:r0 + ts, :].astype(f32)
-                cre = m * are
-                cim = m * aim
                 if quant:
                     inv8c, inv8s = extra[2], extra[3]
-                    fr = _q8_dot(cre[:, :Fa] * wk_vec, inv8c, 1.0 / N)
-                    fr = fr + _q8_dot(cim[:, :Fa] * wk_vec, inv8s, 1.0 / N)
+                    qm, deqv = extra[4], extra[5]
+                    qmt = qm[ri, r0:r0 + ts, :].astype(f32)
+                    are = angre_ref[ri, r0:r0 + ts, :].astype(f32)
+                    aim = angim_ref[ri, r0:r0 + ts, 0:Fa].astype(f32)
+                    q_re = jnp.clip(jnp.round(qmt * are[:, 0:Fa]),
+                                    -127.0, 127.0).astype(jnp.int8)
+                    q_im = jnp.clip(jnp.round(qmt * aim),
+                                    -127.0, 127.0).astype(jnp.int8)
+                    acc = (jnp.dot(q_re, inv8c[:],
+                                   preferred_element_type=jnp.int32)
+                           + jnp.dot(q_im, inv8s[:],
+                                     preferred_element_type=jnp.int32))
+                    fr = acc.astype(f32) * deqv[ri, r0:r0 + ts, 0:1]
+                    cre_n = (mag_ref[ri, r0:r0 + ts, Fa:F].astype(f32)
+                             * are[:, Fa:F])
                 else:
+                    m = mag_ref[ri, r0:r0 + ts, :].astype(f32)
+                    are = angre_ref[ri, r0:r0 + ts, :].astype(f32)
+                    aim = angim_ref[ri, r0:r0 + ts, :].astype(f32)
+                    cre = m * are
+                    cim = m * aim
                     fr = jnp.dot(cre[:, :Fa].astype(bf16), invc[:],
                                  preferred_element_type=f32)
                     fr = fr + jnp.dot(cim[:, :Fa].astype(bf16), invs[:],
                                       preferred_element_type=f32)
-                fr = fr + cre[:, Fa:F] * nyq_ic[:]    # Nyquist rank-1 (sin≡0)
+                    cre_n = cre[:, Fa:F]
+                fr = fr + cre_n * nyq_ic[:]           # Nyquist rank-1 (sin≡0)
                 fsyn[ri, 3 + r0: 3 + r0 + ts, :] = (fr * wvec[:]).astype(bf16)
+
+    def build_sig():
+        """OLA signal chunks: sig[c] = Σ_{r=0..3} fsyn[3+c-r, hop·r:hop·(r+1)]
+        (chunk c of the full overlap-add signal, hop-sized). Replaces the
+        per-tile 7-term frame shift-sum: 4 quarter-width adds build every
+        chunk once, analysis frames then *gather* 4 consecutive chunks."""
+        for c0, ts in _tiles_of(Tp + 3):
+            for ri in range(R):
+                acc = fsyn[ri, 3 + c0: 3 + c0 + ts, 0:hop].astype(f32)
+                for r in (1, 2, 3):
+                    acc = acc + fsyn[ri, 3 + c0 - r: 3 + c0 - r + ts,
+                                     hop * r: hop * (r + 1)].astype(f32)
+                sig[ri, c0:c0 + ts, :] = acc
 
     def iteration(it, carry):
         phase_a(int8_fwd)
+        build_sig()
 
         # ---- Edge signal reconstruction (exact wss + reflect) ----
         # sedge[ri] row 0: OLA samples [0, 6·hop) of invwss ⊙ signal (left);
-        # row 1: samples [L-6·hop, L), L = hop·(T+3) (right). Assembled via
-        # scratch slice-writes — Mosaic cannot concatenate vectors whose
-        # sublane offsets differ.
+        # row 1: samples [L-6·hop, L), L = hop·(T+3) (right). The OLA values
+        # come straight from the sig chunk buffer; only the per-chunk edge
+        # 1/window_sumsquare tables are applied here. (NB sig rows beyond the
+        # last real frame read zero fsyn rows — pad mag rows synthesize to
+        # exactly zero — so chunks T..T+2 are the true signal tail.)
         w_row = wvec[:]
         H = N // 2
         for ri in range(R):
             for m in range(6):
-                acc = jnp.zeros((1, hop), f32)
-                for r in range(0, min(3, m) + 1):
-                    acc = acc + fsyn[ri, 3 + m - r: 4 + m - r,
-                                     hop * r: hop * (r + 1)].astype(f32)
-                sedge[ri, 0:1, hop * m: hop * (m + 1)] = acc * invw_l[m:m + 1, :]
+                sedge[ri, 0:1, hop * m: hop * (m + 1)] = (
+                    sig[ri, m:m + 1, :].astype(f32) * invw_l[m:m + 1, :])
             for idx in range(6):
                 M = T - 3 + idx
-                acc = jnp.zeros((1, hop), f32)
-                for r in range(max(0, idx - 2), 4):
-                    acc = acc + fsyn[ri, 3 + M - r: 4 + M - r,
-                                     hop * r: hop * (r + 1)].astype(f32)
                 sedge[ri, 1:2, hop * idx: hop * (idx + 1)] = (
-                    acc * invw_r[idx:idx + 1, :])
+                    sig[ri, M:M + 1, :].astype(f32) * invw_r[idx:idx + 1, :])
 
             sl = sedge[ri, 0:1, :]
             sr = sedge[ri, 1:2, :]
@@ -287,30 +317,27 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         # ---- Phase B: reb = stft(sigw); momentum; normalize ----
         for r0, ts in tiles:
             for ri in range(R):
-                # shift-sum accumulated in bf16 (unit-scale values, 7 terms —
-                # the rfft matmul consumes bf16 anyway)
-                ana[ri, 0:ts, :] = fsyn[ri, r0 + 3: r0 + 3 + ts, :]   # d = 0
-                for d in (-3, -2, -1, 1, 2, 3):
-                    s = hop * d
-                    rows = fsyn[ri, r0 + 3 + d: r0 + 3 + d + ts, :]
-                    if d > 0:
-                        ana[ri, 0:ts, s:] = ana[ri, 0:ts, s:] + rows[:, :N - s]
-                    else:
-                        ana[ri, 0:ts, :N + s] = (ana[ri, 0:ts, :N + s]
-                                                 + rows[:, -s:])
+                # analysis frame t = sig chunks [t, t+4) ⊙ w/wss — 4
+                # lane-aligned quarter-width copies from the chunk buffer
+                # ana dtype follows the consumer: f32 when int8 (quantize +
+                # Nyquist sum read f32 — zero cast passes from the f32 sig),
+                # bf16 when the forward matmul itself consumes it
+                adt = ana.dtype
+                for r in range(4):
+                    ana[ri, 0:ts, hop * r: hop * (r + 1)] = (
+                        sig[ri, r0 + r: r0 + r + ts, :].astype(adt))
                 ana[ri, 0:ts, :] = (ana[ri, 0:ts, :]
-                                    * (w_row * f32(1.0 / 1.5)).astype(bf16))
+                                    * (w_row * f32(1.0 / 1.5)).astype(adt))
                 for frame, erow in edge_rows.items():
                     if r0 <= frame < r0 + ts:
                         p = frame - r0
-                        ana[ri, p:p + 1, :] = eana[ri, erow:erow + 1, :].astype(bf16)
+                        ana[ri, p:p + 1, :] = eana[ri, erow:erow + 1, :].astype(adt)
                 ab = ana[ri, 0:ts, :]
                 if int8_fwd:
                     dftc8, dfts8 = extra[0], extra[1]
-                    ab32 = ab.astype(f32)
-                    amax = jnp.max(jnp.abs(ab32), axis=-1,
+                    amax = jnp.max(jnp.abs(ab), axis=-1,
                                    keepdims=True) + f32(1e-20)
-                    q = jnp.clip(jnp.round(ab32 * (f32(127.0) / amax)),
+                    q = jnp.clip(jnp.round(ab * (f32(127.0) / amax)),
                                  -127.0, 127.0).astype(jnp.int8)
                     deq = amax * f32(1.0 / (127.0 * 127.0))
                     rr = jnp.dot(q, dftc8[:],
@@ -326,26 +353,27 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                 rr_n = jnp.sum(ab.astype(f32) * nyq_c[:], axis=1, keepdims=True)
 
                 # momentum + normalize; a/(|a|+1e-16) ≈ a·rsqrt(|a|²+1e-32):
-                # identical except at denormal norms (bf16 output anyway)
+                # identical except at denormal norms (bf16 output anyway).
+                # reb carries are f32 scratch — no cast passes on the reload.
                 ca = slice(0, Fa)
-                tr = rebre[ri, r0:r0 + ts, ca].astype(f32)
-                ti = rebim[ri, r0:r0 + ts, ca].astype(f32)
+                tr = rebre[ri, r0:r0 + ts, ca]
+                ti = rebim[ri, r0:r0 + ts, ca]
                 a_re = rr - alpha * tr
                 a_im = ri_ - alpha * ti
                 inv = jax.lax.rsqrt(a_re * a_re + a_im * a_im + 1e-32)
                 angre_ref[ri, r0:r0 + ts, ca] = (a_re * inv).astype(bf16)
                 angim_ref[ri, r0:r0 + ts, ca] = (a_im * inv).astype(bf16)
-                rebre[ri, r0:r0 + ts, ca] = rr.astype(bf16)
-                rebim[ri, r0:r0 + ts, ca] = ri_.astype(bf16)
+                rebre[ri, r0:r0 + ts, ca] = rr
+                rebim[ri, r0:r0 + ts, ca] = ri_
                 # Nyquist column (imag ≡ 0 throughout)
                 cn = slice(Fa, F)
-                tr_n = rebre[ri, r0:r0 + ts, cn].astype(f32)
+                tr_n = rebre[ri, r0:r0 + ts, cn]
                 a_re_n = rr_n - alpha * tr_n
                 inv_n = jax.lax.rsqrt(a_re_n * a_re_n + 1e-32)
                 angre_ref[ri, r0:r0 + ts, cn] = (a_re_n * inv_n).astype(bf16)
                 angim_ref[ri, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
-                rebre[ri, r0:r0 + ts, cn] = rr_n.astype(bf16)
-                rebim[ri, r0:r0 + ts, cn] = jnp.zeros((ts, 1), bf16)
+                rebre[ri, r0:r0 + ts, cn] = rr_n
+                rebim[ri, r0:r0 + ts, cn] = jnp.zeros((ts, 1), f32)
         return carry
 
     jax.lax.fori_loop(0, n_iter, iteration, 0)
@@ -359,31 +387,23 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
     # audio chunk 0 and the last 4 chunks take the true edge tables.
     # ------------------------------------------------------------------
     phase_a(False)
+    build_sig()
     inv_interior = f32(1.0 / 1.5)
     for q0, ts in _tiles_of(T - 1):
         for ri in range(R):
-            acc = jnp.zeros((ts, hop), f32)
-            for r in range(4):
-                acc = acc + fsyn[ri, q0 + 5 - r: q0 + 5 - r + ts,
-                                 hop * r: hop * (r + 1)].astype(f32)
-            acc = acc * inv_interior
-            audio_ref[ri, q0:q0 + ts, :] = acc
+            # audio chunk q = OLA chunk q+2 (the istft N/2 crop = 2 hops)
+            audio_ref[ri, q0:q0 + ts, :] = (
+                sig[ri, q0 + 2: q0 + 2 + ts, :].astype(f32) * inv_interior)
         # edge-chunk corrections: only OLA chunks 2 (audio chunk 0) and T
         # (audio chunk T-2) have window_sumsquare ≠ 1.5 — the wss edge spans
         # 3 hops and the istft crop removes 2 of them at each end.
         for ri in range(R):
-            def _ola_chunk(q):
-                fix = jnp.zeros((1, hop), f32)
-                for r in range(4):
-                    fix = fix + fsyn[ri, q + 5 - r: q + 6 - r,
-                                     hop * r: hop * (r + 1)].astype(f32)
-                return fix
-
             if q0 == 0:
-                audio_ref[ri, 0:1, :] = _ola_chunk(0) * invw_l[2:3, :]
+                audio_ref[ri, 0:1, :] = (sig[ri, 2:3, :].astype(f32)
+                                         * invw_l[2:3, :])
             if q0 <= T - 2 < q0 + ts:
                 audio_ref[ri, T - 2: T - 1, :] = (
-                    _ola_chunk(T - 2) * invw_r[3:4, :])
+                    sig[ri, T: T + 1, :].astype(f32) * invw_r[3:4, :])
 
 
 def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Array]:
@@ -434,8 +454,8 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
 
     scratches = [
         _scratch((R, Tp + 8, N), jnp.bfloat16),  # fsyn (frame f at row 3+f)
-        _scratch((R, Tp, F), jnp.bfloat16),    # reb_prev re
-        _scratch((R, Tp, F), jnp.bfloat16),    # reb_prev im
+        _scratch((R, Tp, F), jnp.float32),     # reb_prev re (f32: no casts)
+        _scratch((R, Tp, F), jnp.float32),     # reb_prev im
         _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT cos (aligned bins)
         _scratch((N, F - 1), jnp.bfloat16),    # fwd DFT -sin
         _scratch((F - 1, N), jnp.bfloat16),    # inv DFT cos (incl. w_k/N)
@@ -446,15 +466,19 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
         _scratch((6, hop), jnp.float32),       # invwss left edge
         _scratch((6, hop), jnp.float32),       # invwss right edge
         _scratch((N // 2, N // 2), jnp.float32),  # flip (reversal) matrix
-        _scratch((R, TT, N), jnp.bfloat16),    # ana tiles (bf16 shift-sum)
+        _scratch((R, TT, N),                   # ana tiles (gathered frames);
+                 jnp.float32 if int8_fwd else jnp.bfloat16),  # see kernel note
         _scratch((R, 2, 6 * hop), jnp.float32),  # edge OLA signal (l/r)
         _scratch((R, 8, N), jnp.float32),      # corrected edge ana frames
+        _scratch((R, Tp + 4, hop), jnp.float32),  # OLA signal chunks
     ]
     if int8_fwd:
         scratches += [_scratch((N, F - 1), jnp.int8),   # fwd DFT cos int8
                       _scratch((N, F - 1), jnp.int8),   # fwd DFT -sin int8
                       _scratch((F - 1, N), jnp.int8),   # inv DFT cos int8
-                      _scratch((F - 1, N), jnp.int8)]   # inv DFT -sin int8
+                      _scratch((F - 1, N), jnp.int8),   # inv DFT -sin int8
+                      _scratch((R, Tp, F - 1), jnp.bfloat16),  # qm (hoisted scale·mag·w_k)
+                      _scratch((R, Tp, 128), jnp.float32)]     # deq rows
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -481,13 +505,23 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
             audio[:B].reshape(B, hop * (T - 1)))
 
 
+def gl_seeds(key: jax.Array, b: int) -> jax.Array:
+    """The (B,) int32 phase-init seeds ``griffin_lim_fused`` derives from a
+    key — exposed so data-parallel callers (shard_map) can draw them
+    globally and shard them, keeping sharded output identical to
+    single-device."""
+    return jax.random.randint(key, (b,), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+
+
 def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
                       hop_length: int, win_length: int, n_iter: int = 64,
                       momentum: float = 0.99,
                       use_matmul: Optional[bool] = None,
                       precision=jax.lax.Precision.DEFAULT,
                       interpret: Optional[bool] = None,
-                      int8_fwd: bool = False) -> jax.Array:
+                      int8_fwd: bool = False,
+                      seeds: Optional[jax.Array] = None) -> jax.Array:
     """Drop-in for :func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim` running the
     64-iteration loop in a single VMEM-resident Pallas kernel.
 
@@ -513,8 +547,8 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     del use_matmul  # only the XLA fallback path distinguishes backends
-    seeds = jax.random.randint(key, (B,), 0, np.iinfo(np.int32).max,
-                               dtype=jnp.int32)
+    if seeds is None:
+        seeds = gl_seeds(key, B)
     _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
                                   n_fft, hop_length, n_iter, momentum,
                                   bool(interpret), bool(int8_fwd))

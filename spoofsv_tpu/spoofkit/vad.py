@@ -128,7 +128,12 @@ def vad_chunk(y: np.ndarray, sr: int, chunk_s: float = 0.4,
     the shape `dvector_create` consumes.
 
     Matches ``GE2E/VAD_segments.py:132-150``: segment times rounded to 2
-    decimals, fixed ``chunk_s`` strides, and the while/else tail chunk.
+    decimals, fixed ``chunk_s`` strides, and the while/else tail chunk —
+    with one deliberate divergence: when a segment length is an exact
+    multiple of ``chunk_s``, the reference's unconditional while/else tail
+    emits a zero-length duplicate span; the ``end - j > 1e-9`` guard here
+    drops that empty chunk (the safer behavior — downstream crops would
+    choke on zero samples).
     """
     segments = vad_collector(y, sr, aggressiveness=aggressiveness,
                              classifier=classifier)

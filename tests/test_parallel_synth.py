@@ -63,6 +63,40 @@ class TestDataParallelSynthesizer:
         np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
                                    atol=5e-4, rtol=1e-3)
 
+    def test_shard_map_fused_kernels_match_single_device(self):
+        """The fused Pallas decode + GL kernels under a mesh: Synthesizer
+        wraps the whole per-sample pipeline in shard_map over the data axis
+        (pallas_call is not pjit-auto-partitionable), with GL seeds drawn
+        globally — sharded audio must equal single-device audio. Closes the
+        r2 'fused decode and DP synthesis are mutually exclusive' gap."""
+        import dataclasses
+
+        cfg, melsyn, ssrn, p1, p2, text, spk, T = _tiny_setup()
+        cfg = cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, decode_impl="pallas", griffin_lim_impl="pallas"))
+        key = jax.random.PRNGKey(7)
+
+        single = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T, gl_iters=3)
+        assert not single._shard_map
+        a0, m0, at0 = single(text, spk, key)
+
+        mesh = make_mesh(8)
+        sharded = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T,
+                              gl_iters=3, mesh=mesh)
+        assert sharded._shard_map
+        a1, m1, at1 = sharded(text, spk, key)
+
+        assert len(a1.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1),
+                                   atol=2e-5, rtol=1e-4)
+        # audio: GL's iterative phase recovery amplifies the per-shard float
+        # vectorization noise in the upstream convs (mel differs by ~2e-5 at
+        # B=1-per-device vs B=8); seeds are shared so the phase TRAJECTORY is
+        # the same — bound the amplified noise rather than demand bitwise
+        a0n, a1n = np.asarray(a0), np.asarray(a1)
+        np.testing.assert_allclose(a0n, a1n, atol=2e-2)
+        assert np.median(np.abs(a0n - a1n)) < 2e-4
+
     def test_bench_mesh_flag_throughput_smoke(self):
         """The --mesh bench path: repeated sharded batches execute and
         return finite audio (throughput measured on real multi-chip HW)."""
