@@ -33,8 +33,12 @@ Key design points (all shapes static; reference behavior is librosa 0.7
   normalize step is f32.
 
 Measured on v5e at B=128, T=1300, 64 iterations: 1170 ms (XLA loop) →
-360 ms, identical spectral convergence (0.0585 vs 0.0588). The final
-``istft(mag·ang)`` runs as an in-kernel chunk overlap-add epilogue.
+332 ms bf16 / **229 ms int8** (round-3 kernel: OLA signal-chunk buffer
+replacing the 7-term shift-sum, hoisted loop-invariant int8 quantization,
+f32 ana/momentum state eliminating cast passes, TT=512, clipless 126.5
+operand scale). Spectral convergence 0.0585 bf16 / 0.0604 int8 vs 0.0588
+f32 XLA. The final ``istft(mag·ang)`` runs as an in-kernel chunk
+overlap-add epilogue fed by the same chunk buffer.
 
 Tried and measured NOT faster (kept out for simplicity): 2 utterance rows
 per grid step (378 ms — Mosaic already overlaps within a row, and the extra
@@ -67,7 +71,10 @@ except Exception:  # pragma: no cover
     _SMEM = None
     _scratch = None
 
-TT = 256          # frame-tile rows per matmul (measured best: 359 vs 367ms at TT=128, 363ms at TT=512; B=128 T=1300 v5e)
+TT = 512          # frame-tile rows per matmul. Post-r3 restructure (sig-chunk
+                  # OLA + hoisted quantize) bigger tiles win: int8 238ms at
+                  # TT=256 -> 229.8 at 512 -> 228.4 at 1312 (shape-specific);
+                  # 512 keeps the generality. (r2 kernel measured best at 256.)
 _EPS_WSS = 1e-11  # istft_ri's window-sum-square threshold
 
 
@@ -190,9 +197,11 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
             for ri in range(R):
                 mw = mag_ref[ri, r0:r0 + ts, 0:Fa].astype(f32) * wk_vec0
                 amax = jnp.max(mw, axis=-1, keepdims=True) + f32(1e-20)
-                qm[ri, r0:r0 + ts, :] = (mw * (f32(127.0) / amax)).astype(bf16)
+                # 126.5 (not 127): |qm·ang| ≤ 126.5 + bf16/round slack
+                # stays < 127.5, so the int8 cast needs NO clip pass
+                qm[ri, r0:r0 + ts, :] = (mw * (f32(126.5) / amax)).astype(bf16)
                 deqv[ri, r0:r0 + ts, :] = jnp.broadcast_to(
-                    amax * f32(1.0 / (127.0 * 127.0 * N)), (ts, 128))
+                    amax * f32(1.0 / (126.5 * 127.0 * N)), (ts, 128))
 
     # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32 wrap-
     # around multiplies + logical shifts give identical bits)
@@ -234,10 +243,8 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                     qmt = qm[ri, r0:r0 + ts, :].astype(f32)
                     are = angre_ref[ri, r0:r0 + ts, :].astype(f32)
                     aim = angim_ref[ri, r0:r0 + ts, 0:Fa].astype(f32)
-                    q_re = jnp.clip(jnp.round(qmt * are[:, 0:Fa]),
-                                    -127.0, 127.0).astype(jnp.int8)
-                    q_im = jnp.clip(jnp.round(qmt * aim),
-                                    -127.0, 127.0).astype(jnp.int8)
+                    q_re = jnp.round(qmt * are[:, 0:Fa]).astype(jnp.int8)
+                    q_im = jnp.round(qmt * aim).astype(jnp.int8)
                     acc = (jnp.dot(q_re, inv8c[:],
                                    preferred_element_type=jnp.int32)
                            + jnp.dot(q_im, inv8s[:],
@@ -337,9 +344,8 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                     dftc8, dfts8 = extra[0], extra[1]
                     amax = jnp.max(jnp.abs(ab), axis=-1,
                                    keepdims=True) + f32(1e-20)
-                    q = jnp.clip(jnp.round(ab * (f32(127.0) / amax)),
-                                 -127.0, 127.0).astype(jnp.int8)
-                    deq = amax * f32(1.0 / (127.0 * 127.0))
+                    q = jnp.round(ab * (f32(126.5) / amax)).astype(jnp.int8)
+                    deq = amax * f32(1.0 / (126.5 * 127.0))
                     rr = jnp.dot(q, dftc8[:],
                                  preferred_element_type=jnp.int32
                                  ).astype(f32) * deq
@@ -528,9 +534,10 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
     Falls back to the XLA implementation for unsupported geometries
     (hop ≠ n_fft/4, short spectrograms).
 
-    ``int8_fwd`` runs the per-iteration forward-DFT matmuls in int8 (2x MXU
-    rate on v5e; 359 -> 317 ms at B=128/T=1300/64 iters) with a per-tile
-    dynamic scale on the frames and 127-scaled DFT matrices. Only the
+    ``int8_fwd`` runs all four per-iteration DFT matmuls in int8 (2x MXU
+    rate on v5e; 332 bf16 -> 229 ms int8 at B=128/T=1300/64 iters) with a
+    hoisted per-row scale on the loop-invariant magnitudes, a dynamic
+    per-row scale on the frames, and 127-scaled DFT matrices. Only the
     *phase* of the result survives GL's normalize step, so the quantization
     is iteratively corrected: measured spectral convergence 0.0594 vs
     0.0586 (bf16) vs 0.0588 (f32 XLA) at bench shapes. Individual waveforms
