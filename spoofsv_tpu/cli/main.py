@@ -173,8 +173,19 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
     sample_dir = os.path.join(cfg.src_root_dir, "samples", args.current_time)
     os.makedirs(sample_dir, exist_ok=True)
 
+    # data-parallel synthesis (the reference's DataParallel wrap,
+    # synthesize.py:75-77): batch must divide the data axis, so size the
+    # loader batch to a multiple of the mesh when one is requested
+    mesh = resolve_mesh(args, cfg)
+    batch = 8
+    if mesh is not None:
+        import numpy as _np
+
+        n_shards = int(_np.prod(mesh.devices.shape))
+        batch = max(8 // n_shards, 1) * n_shards
+
     src = TTSDataSource(cfg, "synthesize", spec_dir, need_lin=True)
-    loader = BucketedLoader(src, 8, with_lin=True, shuffle=False)
+    loader = BucketedLoader(src, batch, with_lin=True, shuffle=False)
 
     fig_dir = os.path.join(sample_dir, "fig")
     key = jax.random.PRNGKey(0)
@@ -191,16 +202,27 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
         t = batch["mel"].shape[1]
         if t not in synthesizers:  # one jitted pipeline per bucket length
             synthesizers[t] = Synthesizer(cfg, melsyn, ssrn, m1_params,
-                                          m2_params, n_frames=t)
+                                          m2_params, n_frames=t, mesh=mesh)
         key, sub = jax.random.split(key)
-        audio, mel, attn = synthesizers[t](jnp.asarray(batch["text"]),
-                                           jnp.asarray(batch["spk"]), sub)
+        b0 = batch["text"].shape[0]
+        text_in, spk_in = batch["text"], batch["spk"]
+        if mesh is not None and b0 % n_shards:
+            # pad flush batches up to the shard multiple (outputs sliced back)
+            pad = n_shards - b0 % n_shards
+            text_in = np.concatenate([text_in, text_in[-1:].repeat(pad, 0)])
+            spk_in = np.concatenate([spk_in, spk_in[-1:].repeat(pad, 0)])
+        audio, mel, attn = synthesizers[t](jnp.asarray(text_in),
+                                           jnp.asarray(spk_in), sub)
+        audio, mel, attn = audio[:b0], mel[:b0], attn[:b0]
         mel_gt = jnp.asarray(batch["mel"])
         l1 = float(l1_loss(mel_gt, mel))
         bd = float(binary_divergence(mel_gt, mel))
         att = float(guided_attention_loss(attn, gaw))
         loss_avg_t2m += l1 + bd + att
-        lin_pred = synthesizers[t]._ssrn_apply(m2_params, mel)
+        # use the synthesizer's (mesh-replicated) ssrn params — the raw
+        # host copy is single-device and can't meet a sharded mel
+        lin_pred = synthesizers[t]._ssrn_apply(synthesizers[t].ssrn_params,
+                                               mel)
         lin_gt = jnp.asarray(batch["lin"])
         l1s = float(l1_loss(lin_gt, lin_pred))
         bds = float(binary_divergence(lin_gt, lin_pred))

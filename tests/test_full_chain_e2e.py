@@ -89,8 +89,10 @@ class TestFullReferenceWorkflow:
         with open(cfg_path, "w") as f:
             json.dump(d, f)
 
-        # ---- synthesize the held-out split ----
-        cli_main.main(["synthesize", "-C", cfg_path, "-T", "e2e"])
+        # ---- synthesize the held-out split (data-parallel over the mesh —
+        # the reference's DataParallel wrap, synthesize.py:75-77) ----
+        cli_main.main(["synthesize", "-C", cfg_path, "-T", "e2e",
+                       "--mesh", "4"])
         wavs = glob.glob(os.path.join(work, "samples", "e2e", "*.wav"))
         assert wavs, "synthesize produced no audio"
 
