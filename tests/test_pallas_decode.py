@@ -16,6 +16,15 @@ from spoofsv_tpu.models import MelSyn
 from spoofsv_tpu.ops.pallas_decode import make_fused_decoder
 from spoofsv_tpu.train.steps import shift_right
 
+# Interpret-mode parity tests: the comparators run eager jnp ops (incl. fft)
+# that the experimental axon TPU backend leaves UNIMPLEMENTED — compiled-
+# kernel behavior on real TPU is validated at pipeline level by scripts/bench_decode.py
+# and the end-to-end benches.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="CPU interpret-mode parity suite (axon backend lacks comparator ops)")
+
+
 
 def _setup(B=4, N=12, hidden=32, freq=16, condition=True, seed=0):
     rng = np.random.default_rng(seed)
