@@ -76,7 +76,9 @@ def main() -> None:
                 ssrn_dim=cfg.ssrn_dim, dtype=dtype)
 
     rng = np.random.default_rng(0)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 256
+    # throughput rises with batch then flattens: 7656x @256, 7920x @512,
+    # 8000x @768 (r3 kernels, v5e) — 768 is the measured knee
+    B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 768
     N = 100                      # text length (Harvard sentences are < 100 chars)
     T = cfg.max_frame_num        # 325-frame rollout (generate_test_utterances.py:114)
 
