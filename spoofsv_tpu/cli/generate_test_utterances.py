@@ -21,9 +21,12 @@ def main(argv=None) -> None:
                     help="speakers synthesized per device batch")
     ps.add_argument("--skip_synthesis", action="store_true")
     ps.add_argument("--skip_staging", action="store_true")
+    ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
+                    help="data-parallel spoof-set synthesis over an N-device "
+                         "mesh (speaker_batch must divide the data axis)")
     args = ps.parse_args(argv)
 
-    from spoofsv_tpu.cli.main import build_models, inference_dtype
+    from spoofsv_tpu.cli.main import build_models, inference_dtype, resolve_mesh
     from spoofsv_tpu.config import load_config
     from spoofsv_tpu.infer.synthesize import Synthesizer
     from spoofsv_tpu.spoofkit import spoofgen
@@ -37,7 +40,8 @@ def main(argv=None) -> None:
         m1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
         m2 = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg, kind="ssrn")
         syn = Synthesizer(cfg, melsyn, ssrn, m1, m2,
-                          n_frames=cfg.max_frame_num)  # 325-frame rollout
+                          n_frames=cfg.max_frame_num,  # 325-frame rollout
+                          mesh=resolve_mesh(args, cfg))
         spoofgen.generate_spoof_set(cfg, args.current_time, syn,
                                     eval_utt_num=args.eval_utt_num,
                                     speaker_batch=args.speaker_batch)

@@ -65,11 +65,19 @@ def generate_spoof_set(cfg: Config, ctime: str, synthesizer: Synthesizer,
             np.load(os.path.join(cfg.spk_emb_dir, spk + ".npy")).astype(np.float32)
             for spk in chunk])
         b = len(chunk) * eval_utt_num
-        text = jnp.asarray(np.tile(text_ids, (len(chunk), 1)))
-        spk = jnp.asarray(np.repeat(embs, eval_utt_num, axis=0))
+        text = np.tile(text_ids, (len(chunk), 1))
+        spk = np.repeat(embs, eval_utt_num, axis=0)
+        if synthesizer.mesh is not None:
+            # pad to the data-axis multiple (XLA shardings need even splits);
+            # padded rows are sliced away below
+            n_shards = int(np.prod(synthesizer.mesh.devices.shape))
+            if b % n_shards:
+                pad = n_shards - b % n_shards
+                text = np.concatenate([text, text[-1:].repeat(pad, 0)])
+                spk = np.concatenate([spk, spk[-1:].repeat(pad, 0)])
         key, sub = jax.random.split(key)
-        audio, _, _ = synthesizer(text, spk, sub)
-        audio = np.asarray(audio)
+        audio, _, _ = synthesizer(jnp.asarray(text), jnp.asarray(spk), sub)
+        audio = np.asarray(audio)[:b]
         for ci, spk_name in enumerate(chunk):
             out_dir = os.path.join(save_dir, "s" + spk_name[1:])
             os.makedirs(out_dir, exist_ok=True)

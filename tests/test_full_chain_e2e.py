@@ -98,9 +98,11 @@ class TestFullReferenceWorkflow:
 
         # ---- spoof set + i-vector/GE2E/anti-spoof staging ----
         from spoofsv_tpu.cli import generate_test_utterances as gtu
+        # --mesh 4: DP spoof-set synthesis with ragged-batch padding
+        # (3 speakers x 3 utts = 9 rows -> padded to 12 over 4 shards)
         gtu.main(["-C", cfg_path, "-T", "e2e", "--train_spk_num", "1",
                   "--enroll_utt_num", "2", "--eval_utt_num", "3",
-                  "--speaker_batch", "3"])
+                  "--speaker_batch", "3", "--mesh", "4"])
         test_root = os.path.join(work, "test", "e2e")
         spoof_wavs = glob.glob(os.path.join(test_root, "spoof_data", "*", "*.wav"))
         assert len(spoof_wavs) == 3 * 3          # 3 speakers x 3 utts
