@@ -44,7 +44,20 @@ Tried and measured NOT faster (kept out for simplicity): 2 utterance rows
 per grid step (378 ms — Mosaic already overlaps within a row, and the extra
 VMEM state hurts pipelining); manual software-pipelining of the tile loops
 (emitting the next tile's VPU work between a tile's matmuls and its
-dependent tail — exactly 360 ms, i.e. the scheduler already handles it).
+dependent tail — exactly 360 ms, i.e. the scheduler already handles it);
+bf16 phase-A quantize multiplies (qm·ang in bf16 with a single f32 upcast
+for the round — Mosaic has no bf16 roundeven — measured 232.5 vs 227.7 ms
+same-session baseline: the separate bf16 multiply breaks the fused f32
+elementwise chain).
+
+Analyzed and rejected, round 3: quantizing the sig *chunks* once per
+iteration with contraction-split phase-B matmuls (4 slices of 256, window
+folded into the int8 DFT matrices). Per-chunk quantization scales cannot be
+shared across the 4 slices feeding one frame, so each slice's int32 output
+needs its own dequant multiply-accumulate — 8 extra (T×512) VPU passes per
+iteration, which outweighs the saved gather/window/quantize passes
+(~6 × (T×1024)-equivalent). The kernel is VPU-bound (≈28 µs/utt/iter vs
+≈14 µs MXU roofline), so the restructure nets out negative.
 """
 
 from __future__ import annotations
