@@ -79,14 +79,25 @@ def parse_args():
     ps.add_argument("--skip", action="append", default=[])
     ps.add_argument("--force", action="append", default=[],
                     help="re-run these stages even if their marker exists")
+    ps.add_argument("--split_suffix", type=str, default="",
+                    help="run a speaker-split variant (the reference's "
+                         "S1/S2/S3 --train_spk_num schemes, "
+                         "generate_test_utterances.py:47) reusing the base "
+                         "campaign's corpus + trained TTS/CM models: only the "
+                         "staging + verification stages re-run, with stage "
+                         "markers/dirs suffixed (e.g. --split_suffix _s50 "
+                         "--train_spk 50)")
     return ps.parse_args()
 
 
 ARGS = parse_args()
 ROOT = ARGS.root
 STATE = os.path.join(ROOT, "state")
-TAG = "campaign"
-TAG_ADV = "campaign_adv"
+SUFFIX = ARGS.split_suffix
+BASE_TAG = "campaign"            # checkpoints (TTS, CM) always come from the
+BASE_TAG_ADV = "campaign_adv"    # base campaign's training stages
+TAG = BASE_TAG + SUFFIX
+TAG_ADV = BASE_TAG + SUFFIX + "_adv"
 DATA_ROOT = os.path.join(ROOT, "corpus")
 SPK_EMB = os.path.join(ROOT, "spk_emb")
 ANTISPOOF = os.path.join(ROOT, "antispoof") + "/"
@@ -101,24 +112,33 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# stages that depend on the train/test speaker split: their state markers,
+# output dirs and result files are suffixed in --split_suffix mode. Training
+# stages (corpus/prepare/train_*/synthesize) are split-independent and always
+# come from the base campaign.
+SPLIT_STAGES = {"spoofgen", "ge2e", "ivector", "cm", "curve", "spoofgen_adv",
+                "ge2e_adv", "ivector_adv", "cm_adv", "curve_adv", "report"}
+
+
 def run_stage(name, fn):
-    marker = os.path.join(STATE, f"{name}.json")
+    mname = name + SUFFIX if (SUFFIX and name in SPLIT_STAGES) else name
+    marker = os.path.join(STATE, f"{mname}.json")
     if ARGS.only and name != ARGS.only:
-        print(f"[campaign] {name}: skipped (--only {ARGS.only})", flush=True)
+        print(f"[campaign] {mname}: skipped (--only {ARGS.only})", flush=True)
         return json.load(open(marker)) if os.path.exists(marker) else {}
     if name in ARGS.skip:
-        print(f"[campaign] {name}: skipped (--skip)", flush=True)
+        print(f"[campaign] {mname}: skipped (--skip)", flush=True)
         return json.load(open(marker)) if os.path.exists(marker) else {}
     if os.path.exists(marker) and name not in ARGS.force:
-        print(f"[campaign] {name}: already done", flush=True)
+        print(f"[campaign] {mname}: already done", flush=True)
         return json.load(open(marker))
-    print(f"[campaign] {name}: start", flush=True)
+    print(f"[campaign] {mname}: start", flush=True)
     t0 = time.time()
     out = fn() or {}
     out["_wall_s"] = round(time.time() - t0, 1)
     with open(marker, "w") as f:
         json.dump(out, f, indent=2, default=float)
-    print(f"[campaign] {name}: done in {out['_wall_s']}s", flush=True)
+    print(f"[campaign] {mname}: done in {out['_wall_s']}s", flush=True)
     return out
 
 
@@ -272,7 +292,7 @@ def _set_inference_ckpts(t2m, ssrn):
 def stage_synthesize():
     from spoofsv_tpu.cli import main as cli_main
 
-    _set_inference_ckpts(_ckpt(TAG, "text2mel"), _ckpt(TAG, "ssrn"))
+    _set_inference_ckpts(_ckpt(BASE_TAG, "text2mel"), _ckpt(BASE_TAG, "ssrn"))
     import contextlib
     import io
     buf = io.StringIO()
@@ -312,10 +332,11 @@ def stage_spoofgen(tag=TAG, cfg_path=None):
 def stage_spoofgen_adv():
     """Spoof set from the WGAN-GP Text2Mel (ordinary SSRN — the adversarial
     campaign trains the generator adversarially; SSRN is shared)."""
-    cfg_adv = os.path.join(ROOT, "config_adv.json")
+    cfg_adv = os.path.join(ROOT, f"config_adv{SUFFIX}.json")
     d = json.load(open(CFG_PATH))
-    d["INFERENCE_TEXT2MEL_MODEL"] = _ckpt(TAG_ADV, "text2mel", adversarial=True)
-    d["INFERENCE_SSRN_MODEL"] = _ckpt(TAG, "ssrn")
+    d["INFERENCE_TEXT2MEL_MODEL"] = _ckpt(BASE_TAG_ADV, "text2mel",
+                                          adversarial=True)
+    d["INFERENCE_SSRN_MODEL"] = _ckpt(BASE_TAG, "ssrn")
     with open(cfg_adv, "w") as f:
         json.dump(d, f, indent=2)
     return stage_spoofgen(tag=TAG_ADV, cfg_path=cfg_adv)
@@ -325,9 +346,11 @@ def stage_spoofgen_adv():
 # GE2E
 # ----------------------------------------------------------------------
 
-def _ge2e_config(tag=TAG, suffix=""):
+def _ge2e_config(tag=None, extra=""):
     from spoofsv_tpu.config import GE2EConfig
 
+    tag = tag or TAG
+    suffix = SUFFIX + extra     # split variants keep their own dirs/ckpts
     test_root = os.path.join(ROOT, "test", tag)
     ge2e = GE2EConfig()
     n_test = ARGS.speakers - ARGS.train_spk
@@ -343,8 +366,8 @@ def _ge2e_config(tag=TAG, suffix=""):
                                   proj=ARGS.ge2e_proj),
         train=dataclasses.replace(
             ge2e.train, N=ARGS.ge2e_n, M=ARGS.ge2e_m, checkpoint_interval=200,
-            checkpoint_dir=os.path.join(ROOT, "ge2e_ck"),
-            log_file=os.path.join(ROOT, "ge2e_ck", "Stats")),
+            checkpoint_dir=os.path.join(ROOT, "ge2e_ck" + SUFFIX),
+            log_file=os.path.join(ROOT, "ge2e_ck" + SUFFIX, "Stats")),
         test=dataclasses.replace(
             ge2e.test, N=n_test,
             M=2 * (ARGS.enroll + 2 * ARGS.eval_num), epochs=1))
@@ -358,7 +381,7 @@ def stage_ge2e():
                              enroll_num=ARGS.enroll + ARGS.eval_num,
                              eval_num=ARGS.eval_num, seed=0, verbose=False)
     gh.train_ge2e(ge2e, max_epochs=ARGS.ge2e_epochs, verbose=True)
-    ck = sorted(glob.glob(os.path.join(ROOT, "ge2e_ck", "final_*.npz")))
+    ck = sorted(glob.glob(os.path.join(ROOT, "ge2e_ck" + SUFFIX, "final_*.npz")))
     test_root = os.path.join(ROOT, "test", TAG)
     res = gh.run_ge2e_evaluation(
         ge2e, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
@@ -375,11 +398,11 @@ def stage_ge2e_adv():
     with the ordinary chain."""
     from spoofsv_tpu.spoofkit import ge2e_harness as gh
 
-    ge2e = _ge2e_config(tag=TAG_ADV, suffix="_adv")
+    ge2e = _ge2e_config(tag=TAG_ADV, extra="_adv")
     gh.save_spectrogram_tisv(ge2e, train_spk_num=ARGS.train_spk,
                              enroll_num=ARGS.enroll + ARGS.eval_num,
                              eval_num=ARGS.eval_num, seed=0, verbose=False)
-    ck = json.load(open(os.path.join(STATE, "ge2e.json")))["checkpoint"]
+    ck = json.load(open(os.path.join(STATE, f"ge2e{SUFFIX}.json")))["checkpoint"]
     test_root = os.path.join(ROOT, "test", TAG_ADV)
     res = gh.run_ge2e_evaluation(
         ge2e, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
@@ -402,7 +425,7 @@ def stage_ivector():
     return run_ivector_pipeline(
         cfg, TAG, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
         num_gauss=ARGS.ivec_gauss, ivec_dim=ARGS.ivec_dim, workers=8,
-        models_dir=os.path.join(ROOT, "ivector_models"), verbose=True)
+        models_dir=os.path.join(ROOT, "ivector_models" + SUFFIX), verbose=True)
 
 
 def stage_ivector_adv():
@@ -415,7 +438,7 @@ def stage_ivector_adv():
     return run_ivector_pipeline(
         cfg, TAG_ADV, enroll_num=ARGS.enroll, eval_num=ARGS.eval_num,
         num_gauss=ARGS.ivec_gauss, ivec_dim=ARGS.ivec_dim, workers=8,
-        models_dir=os.path.join(ROOT, "ivector_models"), verbose=True)
+        models_dir=os.path.join(ROOT, "ivector_models" + SUFFIX), verbose=True)
 
 
 def stage_ivector_ref():
@@ -440,6 +463,11 @@ def stage_cm():
     from spoofsv_tpu.cli import antispoof as cm_cli
     from spoofsv_tpu.spoofkit.antispoof import cm_eer
 
+    if SUFFIX:
+        # split variant: the CM train set (LA-train analog) is
+        # split-independent — reuse the base campaign's trained classifier
+        # and only score this split's dev protocol
+        return _score_cm(TAG)
     cwd = os.getcwd()
     os.chdir(ROOT)
     try:
@@ -447,7 +475,7 @@ def stage_cm():
                      "--bonafide_cap", str(ARGS.cm_cap),
                      "--max_iterations", str(ARGS.cm_steps),
                      "--save_interval", "2000"])
-        ck = os.path.join(ROOT, "checkpoints", TAG, "final.npz")
+        ck = os.path.join(ROOT, "checkpoints", BASE_TAG, "final.npz")
         cm_cli.main(["dev", "-C", CFG_PATH, "-T", TAG, "-R", ck,
                      "--bonafide_cap", str(ARGS.cm_cap)])
     finally:
@@ -470,7 +498,7 @@ def _score_cm(tag):
     from spoofsv_tpu.cli import antispoof as cm_cli
     from spoofsv_tpu.spoofkit.antispoof import cm_eer
 
-    ck = os.path.join(ROOT, "checkpoints", TAG, "final.npz")
+    ck = os.path.join(ROOT, "checkpoints", BASE_TAG, "final.npz")
     cwd = os.getcwd()
     os.chdir(ROOT)
     try:
@@ -514,11 +542,11 @@ def _curve(tag, suffix, out_name):
 
 
 def stage_curve():
-    return _curve(TAG, "", "curve.png")
+    return _curve(TAG, SUFFIX, f"curve{SUFFIX}.png")
 
 
 def stage_curve_adv():
-    return _curve(TAG_ADV, "_adv", "curve_adv.png")
+    return _curve(TAG_ADV, SUFFIX + "_adv", f"curve{SUFFIX}_adv.png")
 
 
 def stage_report():
@@ -527,28 +555,38 @@ def stage_report():
                  "synthesize", "spoofgen", "ge2e", "ivector", "ivector_ref",
                  "cm", "curve", "spoofgen_adv", "ge2e_adv", "ivector_adv",
                  "cm_adv", "curve_adv"):
-        marker = os.path.join(STATE, f"{name}.json")
+        mname = name + SUFFIX if (SUFFIX and name in SPLIT_STAGES) else name
+        marker = os.path.join(STATE, f"{mname}.json")
         if os.path.exists(marker):
             out[name] = json.load(open(marker))
-    with open(os.path.join(ROOT, "RESULTS.json"), "w") as f:
+    results = os.path.join(ROOT, f"RESULTS{SUFFIX}.json")
+    with open(results, "w") as f:
         json.dump(out, f, indent=2, default=float)
     print(json.dumps({k: v for k, v in out.items()
                       if k in ("ge2e", "ivector", "ivector_ref", "cm",
                                "synthesize", "ge2e_adv", "ivector_adv",
                                "cm_adv")}, indent=2, default=float))
-    return {"results": os.path.join(ROOT, "RESULTS.json")}
+    return {"results": results}
 
 
 def main():
-    run_stage("corpus", stage_corpus)
-    run_stage("prepare", stage_prepare)
-    run_stage("train_t2m",
-              lambda: _train("train_text2mel", TAG, ARGS.t2m_steps, False))
-    run_stage("train_ssrn",
-              lambda: _train("train_ssrn", TAG, ARGS.ssrn_steps, False))
-    run_stage("train_adv",
-              lambda: _train("train_text2mel", TAG_ADV, ARGS.adv_steps, True))
-    run_stage("synthesize", stage_synthesize)
+    if SUFFIX:
+        # split-scheme variant: the base campaign must have trained everything
+        for req in ("corpus", "train_t2m", "train_ssrn", "train_adv",
+                    "synthesize", "cm"):
+            assert os.path.exists(os.path.join(STATE, f"{req}.json")), (
+                f"--split_suffix needs the base campaign stage '{req}' done")
+    else:
+        run_stage("corpus", stage_corpus)
+        run_stage("prepare", stage_prepare)
+        run_stage("train_t2m",
+                  lambda: _train("train_text2mel", TAG, ARGS.t2m_steps, False))
+        run_stage("train_ssrn",
+                  lambda: _train("train_ssrn", TAG, ARGS.ssrn_steps, False))
+        run_stage("train_adv",
+                  lambda: _train("train_text2mel", TAG_ADV, ARGS.adv_steps,
+                                 True))
+        run_stage("synthesize", stage_synthesize)
     run_stage("spoofgen", stage_spoofgen)
     run_stage("ge2e", stage_ge2e)
     run_stage("ivector", stage_ivector)
