@@ -131,8 +131,12 @@ class CheckpointManager:
         # directory is committed so the path is immediately loadable.
         if hasattr(self._ckpt, "wait_until_finished"):
             self._ckpt.wait_until_finished()
-        with open(path + ".meta.json", "w") as f:
-            json.dump(host_meta, f)
+        # Multi-process: orbax coordinates the array save across processes
+        # (every process participates above); the side-car meta file is host
+        # state and belongs to process 0 alone.
+        if jax.process_index() == 0:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(host_meta, f)
         return path
 
     def latest(self) -> Optional[str]:
@@ -234,7 +238,11 @@ class Trainer:
         self.adversarial = adversarial
         self.ckpt = CheckpointManager(cfg, pattern, adversarial, ctime, train_kind)
         self.fig_dir = os.path.join(self.ckpt.base, "fig")
-        self.metrics = MetricsLogger(os.path.join(self.ckpt.base, "metrics.jsonl"))
+        # Multi-process runs (jax.distributed over a pod): host-side artifacts
+        # are owned by process 0 only (parallel/multihost.py design rules).
+        self.metrics = MetricsLogger(
+            os.path.join(self.ckpt.base, "metrics.jsonl")
+            if jax.process_index() == 0 else None)
         self.loss_val_log: List[float] = []
         self.loss_logs: Dict[str, List[float]] = {
             "wd": [], "t_s": [], "t_s_o": [], "t_d": []}
@@ -343,16 +351,24 @@ class Trainer:
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         from spoofsv_tpu.parallel.mesh import shard_batch
+        # Multi-process (jax.distributed): each process's loader feeds only its
+        # LOCAL share of the global batch — assemble the global jax.Array from
+        # the per-process shards (no host gathers, no cross-host transfers).
+        n_proc = jax.process_count()
+        per_proc_shards = self._n_shards // max(1, n_proc)
         n = next(iter(batch.values())).shape[0]
-        keep = (n // self._n_shards) * self._n_shards
+        keep = (n // per_proc_shards) * per_proc_shards
         if keep == 0:
             return None
         if keep != n:
             if not self._warned_uneven:
                 print(f"[mesh] trimming uneven batch {n} -> {keep} "
-                      f"({self._n_shards} data shards)")
+                      f"({self._n_shards} data shards / {n_proc} processes)")
                 self._warned_uneven = True
             batch = {k: v[:keep] for k, v in batch.items()}
+        if n_proc > 1:
+            from spoofsv_tpu.parallel import multihost
+            return multihost.global_batch_from_local(batch, self.mesh)
         return shard_batch(batch, self.mesh)
 
     # -- validation + checkpoint cadence -------------------------------------
@@ -413,10 +429,17 @@ class Trainer:
                 if (self.validator is not None and val_loader_factory is not None
                         and self.iteration > 0
                         and self.iteration % self.cfg.val_every_iter == 0):
-                    vb = ({k: jnp.asarray(v) for k, v in b.items()}
-                          for b in val_loader_factory())
+                    # Mesh runs place validation batches like train batches
+                    # (multi-process requires global arrays in jitted calls).
+                    if self.mesh is not None:
+                        vb = (b for b in (self._place_batch(x)
+                                          for x in val_loader_factory())
+                              if b is not None)
+                    else:
+                        vb = ({k: jnp.asarray(v) for k, v in b.items()}
+                              for b in val_loader_factory())
                     lv = self.maybe_validate_and_checkpoint(vb, last_batch)
-                    if lv is not None and plot:
+                    if lv is not None and plot and jax.process_index() == 0:
                         self._flush_loss_logs()
                         plot_losses(self.loss_logs, self.iteration, self.fig_dir)
                     # validation/checkpoint time must not pollute the

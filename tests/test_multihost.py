@@ -1,10 +1,47 @@
-"""Multi-host helpers degrade correctly to single-process (8-dev CPU mesh)."""
+"""Multi-host support: single-process degrade + a REAL 2-process run.
+
+The 2-process test launches two ``jax.distributed`` worker processes (4
+virtual CPU devices each) that train WGAN-GP through ``Trainer.fit`` over the
+global 8-device mesh — per-process local batches, cross-process gradient
+all-reduce (gloo on CPU; ICI/DCN on a pod) — and checks the resulting params
+are identical across ranks and match a single-process 8-device run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import numpy as np
 
 from spoofsv_tpu.parallel import mesh as mesh_lib
 from spoofsv_tpu.parallel import multihost
+
+_WORKER = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_worker(process_id, num_processes, port, out_npz, workdir, wait=True):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = _REPO  # keep the TPU-tunnel site hook out
+    p = subprocess.Popen(
+        [sys.executable, _WORKER, str(process_id), str(num_processes),
+         str(port), out_npz, workdir],
+        env=env, cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    if not wait:
+        return p
+    out, _ = p.communicate(timeout=420)
+    assert p.returncode == 0, f"worker {process_id}/{num_processes}:\n{out[-3000:]}"
+    return out
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 class TestMultihost:
@@ -33,3 +70,41 @@ class TestMultihost:
         g = multihost.global_batch_from_local(local, mesh)
         got = jax.jit(lambda b: b["x"].mean())(g)
         assert float(got) == local["x"].mean()
+
+
+class TestTwoProcessTraining:
+    def test_two_process_wgan_gp_matches_single_process(self, tmp_path):
+        """7 WGAN-GP Trainer.fit iterations: 2 coordinated processes (4 CPU
+        devices each, gloo collectives) vs 1 process (8 devices), same global
+        batches. Ranks must agree exactly; multi- vs single-process only up to
+        all-reduce summation order."""
+        port = _free_port()
+        p0 = _run_worker(0, 2, port, str(tmp_path / "p0.npz"),
+                         str(tmp_path), wait=False)
+        try:
+            _run_worker(1, 2, port, str(tmp_path / "p1.npz"), str(tmp_path))
+            out0, _ = p0.communicate(timeout=60)
+            assert p0.returncode == 0, f"rank 0:\n{out0[-3000:]}"
+        finally:
+            if p0.poll() is None:
+                p0.kill()
+        _run_worker(0, 1, 0, str(tmp_path / "single.npz"), str(tmp_path))
+
+        s = np.load(tmp_path / "single.npz")
+        r0 = np.load(tmp_path / "p0.npz")
+        r1 = np.load(tmp_path / "p1.npz")
+        assert set(s.files) == set(r0.files) == set(r1.files)
+        assert len(s.files) > 100  # full adversarial state (G+D+opts)
+        worst = 0.0
+        for k in s.files:
+            a, b, c = s[k], r0[k], r1[k]
+            # every rank computes the identical replicated result
+            np.testing.assert_array_equal(b, c, err_msg=k)
+            if a.dtype.kind == "f":
+                worst = max(worst, float(np.max(np.abs(
+                    a.astype(np.float64) - b.astype(np.float64)))))
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=k)
+        # measured 1.1e-5 after 7 steps (grad-of-grad amplifies reduction
+        # order); 1e-3 keeps the gate meaningful without being flaky
+        assert worst < 1e-3, worst
