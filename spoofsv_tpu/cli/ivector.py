@@ -37,6 +37,11 @@ def main(argv=None) -> None:
     ps.add_argument("--models_dir", type=str, default=None,
                     help="cache trained UBM/T/PLDA here and reuse on later "
                          "runs (run.sh first-run-only training)")
+    ps.add_argument("--backend", type=str, default="auto",
+                    choices=["auto", "jax", "native"],
+                    help="EM/stats/extraction compute backend: batched XLA "
+                         "einsums (jax — MXU on TPU) or the scalar C++ "
+                         "reference path (native)")
     ps.add_argument("--recompute_eer", type=str, default=None, metavar="SCORES",
                     help="recompute EER from a saved score file and exit "
                          "(ivector_eer.sh)")
@@ -72,7 +77,7 @@ def main(argv=None) -> None:
                          args.max_train_utts_per_spk, workers=args.workers,
                          use_full_ubm=not args.diag_ubm,
                          full_ubm_iters=args.full_ubm_iters,
-                         models_dir=args.models_dir)
+                         models_dir=args.models_dir, backend=args.backend)
 
 
 if __name__ == "__main__":

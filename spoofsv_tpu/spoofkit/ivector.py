@@ -125,6 +125,21 @@ def _dp(a: np.ndarray):
     return a.ctypes.data_as(c_double_p)
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    """'native' (C++ scalar loops) or 'jax' (XLA einsum EM —
+    :mod:`spoofsv_tpu.spoofkit.ivector_jax`). 'auto' picks jax when
+    importable: the EM sweeps are dense matmuls, so even the single-core XLA
+    CPU backend beats the scalar C++, and on TPU they ride the MXU."""
+    if backend == "auto":
+        try:
+            import jax  # noqa: F401
+            return "jax"
+        except Exception:  # pragma: no cover - jax is in every target env
+            return "native"
+    assert backend in ("native", "jax"), backend
+    return backend
+
+
 # ----------------------------------------------------------------------
 # Feature extraction
 # ----------------------------------------------------------------------
@@ -166,7 +181,12 @@ class UBM:
 
     @classmethod
     def train(cls, frames: np.ndarray, num_comp: int, iters: int = 4,
-              seed: int = 0, verbose: bool = False) -> "UBM":
+              seed: int = 0, verbose: bool = False,
+              backend: str = "native") -> "UBM":
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            return cls(*ivector_jax.train_diag_ubm(
+                frames, num_comp, iters=iters, seed=seed, verbose=verbose))
         lib = _load_lib()
         frames = np.ascontiguousarray(frames, np.float64)
         n, d = frames.shape
@@ -207,6 +227,18 @@ class UBM:
                          _dp(N), _dp(F))
         return N, F
 
+    def acc_stats_batch(self, feats_list, backend: str = "native",
+                        workers: int = 8):
+        """Baum-Welch stats for many utterances — batched XLA kernel on the
+        jax backend, a thread pool over the native kernel otherwise."""
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            return ivector_jax.acc_stats_diag_batch(
+                self.weights, self.means, self.vars, feats_list)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            return list(ex.map(self.acc_stats, feats_list))
+
     def save(self, path: str) -> None:
         np.savez(path, weights=self.weights, means=self.means, vars=self.vars)
 
@@ -229,7 +261,12 @@ class FullUBM:
 
     @classmethod
     def train(cls, diag: UBM, frames: np.ndarray, iters: int = 3,
-              verbose: bool = False) -> "FullUBM":
+              verbose: bool = False, backend: str = "native") -> "FullUBM":
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            return cls(*ivector_jax.train_full_ubm(
+                diag.weights, diag.means, diag.vars, frames, iters=iters,
+                verbose=verbose))
         lib = _load_lib()
         frames = np.ascontiguousarray(frames, np.float64)
         n, d = frames.shape
@@ -271,6 +308,17 @@ class FullUBM:
                               _dp(N), _dp(F))
         return N, F
 
+    def acc_stats_batch(self, feats_list, backend: str = "native",
+                        workers: int = 8):
+        """Batched Baum-Welch stats (see :meth:`UBM.acc_stats_batch`)."""
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            return ivector_jax.acc_stats_full_batch(
+                self.weights, self.means, self.covs, feats_list)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            return list(ex.map(self.acc_stats, feats_list))
+
     def save(self, path: str) -> None:
         np.savez(path, weights=self.weights, means=self.means, covs=self.covs)
 
@@ -284,11 +332,13 @@ class IvectorExtractorFull:
     """T-matrix extractor on the full-covariance UBM (the configuration the
     reference's Kaldi pipeline actually runs — ``run.sh:119-129``)."""
 
-    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0):
+    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0,
+                 arrays=None):
         self._handle = handle
         self.ivec_dim = ivec_dim
         self.num_comp = num_comp
         self.dim = dim
+        self._arrays = arrays          # (T (C,D,R), means (C,D), inv_covs (C,D,D))
 
     def __del__(self):
         try:
@@ -301,15 +351,39 @@ class IvectorExtractorFull:
     def train(cls, fubm: FullUBM,
               stats: Sequence[Tuple[np.ndarray, np.ndarray]],
               ivec_dim: int = 100, iters: int = 5, seed: int = 0,
-              verbose: bool = False) -> "IvectorExtractorFull":
+              verbose: bool = False,
+              backend: str = "native") -> "IvectorExtractorFull":
         lib = _load_lib()
         u = len(stats)
         allN = np.ascontiguousarray(np.stack([s[0] for s in stats]), np.float64)
         allF = np.ascontiguousarray(np.stack([s[1] for s in stats]), np.float64)
+        c, d = fubm.means.shape
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            inv_covs = np.ascontiguousarray(np.linalg.inv(fubm.covs))
+            T = np.ascontiguousarray(ivector_jax.train_extractor(
+                fubm.means, inv_covs, allN, allF, ivec_dim, iters=iters,
+                seed=seed, verbose=verbose))
+            means = np.ascontiguousarray(fubm.means, np.float64)
+            h = lib.sk_ivector_full_from(_dp(T), _dp(means), _dp(inv_covs),
+                                         c, d, ivec_dim)
+            return cls(h, ivec_dim, c, d, arrays=(T, means, inv_covs))
         h = lib.sk_train_ivector_full(fubm.handle(), ivec_dim, _dp(allN),
                                       _dp(allF), u, iters, seed, int(verbose))
-        c, d = fubm.means.shape
         return cls(h, ivec_dim, c, d)
+
+    def arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(T, ubm_means, inv_covs) — fetched from the native handle once."""
+        if self._arrays is None:
+            lib = _load_lib()
+            c, d, r = self.num_comp, self.dim, self.ivec_dim
+            T = np.zeros((c, d, r), np.float64)
+            means = np.zeros((c, d), np.float64)
+            inv_covs = np.zeros((c, d, d), np.float64)
+            lib.sk_ivector_full_get(self._handle, _dp(T), _dp(means),
+                                    _dp(inv_covs))
+            self._arrays = (T, means, inv_covs)
+        return self._arrays
 
     def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
         lib = _load_lib()
@@ -319,13 +393,22 @@ class IvectorExtractorFull:
             _dp(np.ascontiguousarray(F, np.float64)), _dp(out))
         return out
 
+    def extract_batch(self, stats: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      backend: str = "native", workers: int = 8) -> np.ndarray:
+        """(U, R) i-vectors for many utterances — one batched XLA E-step on
+        the jax backend, a thread pool over the native solver otherwise."""
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            T, means, inv_covs = self.arrays()
+            allN = np.stack([s[0] for s in stats])
+            allF = np.stack([s[1] for s in stats])
+            return ivector_jax.extract_ivectors(T, inv_covs, means, allN, allF)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            return np.stack(list(ex.map(lambda s: self.extract(*s), stats)))
+
     def save(self, path: str) -> None:
-        lib = _load_lib()
-        c, d, r = self.num_comp, self.dim, self.ivec_dim
-        T = np.zeros((c, d, r), np.float64)
-        means = np.zeros((c, d), np.float64)
-        inv_covs = np.zeros((c, d, d), np.float64)
-        lib.sk_ivector_full_get(self._handle, _dp(T), _dp(means), _dp(inv_covs))
+        T, means, inv_covs = self.arrays()
         np.savez(path, T=T, means=means, inv_covs=inv_covs)
 
     @classmethod
@@ -337,15 +420,17 @@ class IvectorExtractorFull:
         inv_covs = np.ascontiguousarray(z["inv_covs"], np.float64)
         c, d, r = T.shape
         h = lib.sk_ivector_full_from(_dp(T), _dp(means), _dp(inv_covs), c, d, r)
-        return cls(h, r, c, d)
+        return cls(h, r, c, d, arrays=(T, means, inv_covs))
 
 
 class IvectorExtractor:
-    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0):
+    def __init__(self, handle, ivec_dim: int, num_comp: int = 0, dim: int = 0,
+                 arrays=None):
         self._handle = handle
         self.ivec_dim = ivec_dim
         self.num_comp = num_comp
         self.dim = dim
+        self._arrays = arrays          # (T (C,D,R), means (C,D), inv_vars (C,D))
 
     def __del__(self):
         try:
@@ -357,17 +442,42 @@ class IvectorExtractor:
     @classmethod
     def train(cls, ubm: UBM, stats: Sequence[Tuple[np.ndarray, np.ndarray]],
               ivec_dim: int = 100, iters: int = 5, seed: int = 0,
-              verbose: bool = False) -> "IvectorExtractor":
+              verbose: bool = False,
+              backend: str = "native") -> "IvectorExtractor":
         lib = _load_lib()
         c, d = ubm.means.shape
         u = len(stats)
         allN = np.ascontiguousarray(np.stack([s[0] for s in stats]), np.float64)
         allF = np.ascontiguousarray(np.stack([s[1] for s in stats]), np.float64)
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            # the native scorer floors vars at 1e-6 (ivector.cc:67)
+            inv_vars = np.ascontiguousarray(
+                1.0 / np.maximum(ubm.vars, 1e-6), np.float64)
+            T = np.ascontiguousarray(ivector_jax.train_extractor(
+                ubm.means, inv_vars, allN, allF, ivec_dim, iters=iters,
+                seed=seed, verbose=verbose))
+            means = np.ascontiguousarray(ubm.means, np.float64)
+            h = lib.sk_ivector_from(_dp(T), _dp(means), _dp(inv_vars),
+                                    c, d, ivec_dim)
+            return cls(h, ivec_dim, c, d, arrays=(T, means, inv_vars))
         h = lib.sk_train_ivector(
             _dp(np.ascontiguousarray(ubm.means)),
             _dp(np.ascontiguousarray(ubm.vars)), c, d, ivec_dim,
             _dp(allN), _dp(allF), u, iters, seed, int(verbose))
         return cls(h, ivec_dim, c, d)
+
+    def arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(T, ubm_means, inv_vars) — fetched from the native handle once."""
+        if self._arrays is None:
+            lib = _load_lib()
+            c, d, r = self.num_comp, self.dim, self.ivec_dim
+            T = np.zeros((c, d, r), np.float64)
+            means = np.zeros((c, d), np.float64)
+            inv_vars = np.zeros((c, d), np.float64)
+            lib.sk_ivector_get(self._handle, _dp(T), _dp(means), _dp(inv_vars))
+            self._arrays = (T, means, inv_vars)
+        return self._arrays
 
     def extract(self, N: np.ndarray, F: np.ndarray) -> np.ndarray:
         lib = _load_lib()
@@ -378,13 +488,21 @@ class IvectorExtractor:
                                _dp(out))
         return out
 
+    def extract_batch(self, stats: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      backend: str = "native", workers: int = 8) -> np.ndarray:
+        """(U, R) i-vectors (see :meth:`IvectorExtractorFull.extract_batch`)."""
+        if resolve_backend(backend) == "jax":
+            from spoofsv_tpu.spoofkit import ivector_jax
+            T, means, inv_vars = self.arrays()
+            allN = np.stack([s[0] for s in stats])
+            allF = np.stack([s[1] for s in stats])
+            return ivector_jax.extract_ivectors(T, inv_vars, means, allN, allF)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            return np.stack(list(ex.map(lambda s: self.extract(*s), stats)))
+
     def save(self, path: str) -> None:
-        lib = _load_lib()
-        c, d, r = self.num_comp, self.dim, self.ivec_dim
-        T = np.zeros((c, d, r), np.float64)
-        means = np.zeros((c, d), np.float64)
-        inv_vars = np.zeros((c, d), np.float64)
-        lib.sk_ivector_get(self._handle, _dp(T), _dp(means), _dp(inv_vars))
+        T, means, inv_vars = self.arrays()
         np.savez(path, T=T, means=means, inv_vars=inv_vars)
 
     @classmethod
@@ -396,7 +514,7 @@ class IvectorExtractor:
         inv_vars = np.ascontiguousarray(z["inv_vars"], np.float64)
         c, d, r = T.shape
         h = lib.sk_ivector_from(_dp(T), _dp(means), _dp(inv_vars), c, d, r)
-        return cls(h, r, c, d)
+        return cls(h, r, c, d, arrays=(T, means, inv_vars))
 
 
 class PLDA:
@@ -502,8 +620,8 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
                          ubm_frames_cap: int = 200_000, seed: int = 0,
                          workers: int = 8, verbose: bool = True,
                          use_full_ubm: bool = True, full_ubm_iters: int = 3,
-                         models_dir: Optional[str] = None
-                         ) -> Dict[str, float]:
+                         models_dir: Optional[str] = None,
+                         backend: str = "auto") -> Dict[str, float]:
     """Full evaluation: train UBM/T/PLDA on the staged train speakers, score
     mixed + no-spoof trials, report EER / clean threshold / spoof rate.
 
@@ -516,8 +634,21 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     run, UBM/T/PLDA training is skipped and the saved models are reused
     (run.sh's first-run-only training, ``run.sh [0|1]``); otherwise models are
     trained and then saved there for the next invocation.
+
+    ``backend``: 'jax' runs the EM sweeps / Baum-Welch stats / extraction as
+    batched XLA einsums (MXU on TPU — see :mod:`ivector_jax`); 'native' is
+    the scalar C++ reference path; 'auto' (default) picks jax when available.
     """
     import concurrent.futures
+
+    # 'auto' is size-aware: XLA wins big at Kaldi scale (measured 3.3x at
+    # 512 Gauss/400-dim on ONE CPU core, more on TPU — the EM is matmuls),
+    # but at toy scale jit compilation dominates and the scalar C++ is faster.
+    if backend == "auto" and num_gauss < 128:
+        backend = "native"
+    backend = resolve_backend(backend)
+    if verbose:
+        print(f"[ivector] backend: {backend}")
 
     root = os.path.join(cfg.src_root_dir, "test", ctime, "ivector_data")
     train_dir = os.path.join(root, "wav", "train")
@@ -550,34 +681,36 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
             pool = pool[rng.choice(len(pool), ubm_frames_cap, replace=False)]
         if verbose:
             print(f"[ivector] training {num_gauss}-comp diag UBM on {len(pool)} frames")
-        ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose)
+        ubm = UBM.train(pool, num_gauss, iters=4, seed=seed, verbose=verbose,
+                        backend=backend)
         if use_full_ubm:
             if verbose:
                 print(f"[ivector] re-estimating full-covariance UBM ({full_ubm_iters} iters)")
             stats_model = FullUBM.train(ubm, pool, iters=full_ubm_iters,
-                                        verbose=verbose)
+                                        verbose=verbose, backend=backend)
         else:
             stats_model = ubm
 
         # ---- 3. stats + T-matrix
         if verbose:
             print("[ivector] accumulating stats + training T matrix")
-        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-            stats = list(ex.map(stats_model.acc_stats,
-                                [f for f in train_feats if len(f) > 0]))
+        stats = stats_model.acc_stats_batch(
+            [f for f in train_feats if len(f) > 0], backend=backend,
+            workers=workers)
         kept = [i for i, f in enumerate(train_feats) if len(f) > 0]
         if use_full_ubm:
             extractor = IvectorExtractorFull.train(stats_model, stats,
                                                    ivec_dim=ivec_dim, iters=5,
-                                                   seed=seed, verbose=verbose)
+                                                   seed=seed, verbose=verbose,
+                                                   backend=backend)
         else:
             extractor = IvectorExtractor.train(ubm, stats, ivec_dim=ivec_dim,
-                                               iters=5, seed=seed, verbose=verbose)
+                                               iters=5, seed=seed,
+                                               verbose=verbose, backend=backend)
 
         # ---- 4. train i-vectors + PLDA
-        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-            train_ivecs = list(ex.map(lambda s: extractor.extract(*s), stats))
-        train_ivecs = np.stack(train_ivecs)
+        train_ivecs = extractor.extract_batch(stats, backend=backend,
+                                              workers=workers)
         spk_names = sorted({train_items[i][0] for i in kept})
         spk_idx = {s: i for i, s in enumerate(spk_names)}
         labels = np.asarray([spk_idx[train_items[i][0]] for i in kept], np.int32)
@@ -610,10 +743,13 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     # pays MFCC+VAD+stats+extract once across both scoring passes.
     ivec_cache: Dict[str, Optional[np.ndarray]] = {}
 
-    def utterance_ivector(path: str) -> Optional[np.ndarray]:
+    def _hash_of(path: str) -> str:
         import hashlib
         with open(path, "rb") as fh:
-            key = hashlib.sha1(fh.read()).hexdigest()
+            return hashlib.sha1(fh.read()).hexdigest()
+
+    def utterance_ivector(path: str) -> Optional[np.ndarray]:
+        key = _hash_of(path)
         if key in ivec_cache:
             return ivec_cache[key]
         f = mfcc_vad_features(path)
@@ -624,6 +760,43 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
             vec = plda.transform(length_normalize(iv - mean_ivec))
         ivec_cache[key] = vec
         return vec
+
+    def prime_ivector_cache(dirs: List[str]) -> None:
+        """jax backend: batch the whole scoring set's stats + extraction
+        through the XLA kernels instead of per-file native solves."""
+        paths = []
+        for d in dirs:
+            for spk in sorted(os.listdir(d)):
+                for u in sorted(os.listdir(os.path.join(d, spk))):
+                    paths.append(os.path.join(d, spk, u))
+        fresh: List[Tuple[str, str]] = []
+        seen = set()
+        for p in paths:
+            k = _hash_of(p)
+            if k not in ivec_cache and k not in seen:
+                fresh.append((k, p))
+                seen.add(k)
+        if not fresh:
+            return
+        if verbose:
+            print(f"[ivector] batch-extracting {len(fresh)} unique test utts")
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            feats = list(ex.map(lambda kp: mfcc_vad_features(kp[1]), fresh))
+        keep = [i for i, f in enumerate(feats) if len(f) > 0]
+        for i, (k, _) in enumerate(fresh):
+            if i not in keep:
+                ivec_cache[k] = None
+        if not keep:
+            return
+        st = stats_model.acc_stats_batch([feats[i] for i in keep],
+                                         backend=backend, workers=workers)
+        ivecs = extractor.extract_batch(st, backend=backend, workers=workers)
+        for j, i in enumerate(keep):
+            ivec_cache[fresh[i][0]] = plda.transform(
+                length_normalize(ivecs[j] - mean_ivec))
+
+    if backend == "jax":
+        prime_ivector_cache([test_dir, ns_dir])
 
     def score_testdir(d: str, with_index_split: bool = True):
         """Enroll = first enroll_num utts per speaker (split_data_enroll_eval.py),
