@@ -328,6 +328,18 @@ class FullUBM:
         return cls(z["weights"], z["means"], z["covs"])
 
 
+def _repair_nonfinite_rows(extract_fn, out: np.ndarray, stats) -> np.ndarray:
+    """Re-solve any non-finite rows of a batched f32 extraction with the f64
+    native solver (pathological stats on degenerate UBM components)."""
+    bad = np.flatnonzero(~np.isfinite(out).all(axis=1))
+    for i in bad:
+        out[i] = extract_fn(*stats[i])
+    if len(bad):
+        print(f"[ivector] re-solved {len(bad)} utterances natively "
+              f"(f32 posterior underflow)")
+    return out
+
+
 class IvectorExtractorFull:
     """T-matrix extractor on the full-covariance UBM (the configuration the
     reference's Kaldi pipeline actually runs — ``run.sh:119-129``)."""
@@ -402,7 +414,8 @@ class IvectorExtractorFull:
             T, means, inv_covs = self.arrays()
             allN = np.stack([s[0] for s in stats])
             allF = np.stack([s[1] for s in stats])
-            return ivector_jax.extract_ivectors(T, inv_covs, means, allN, allF)
+            out = ivector_jax.extract_ivectors(T, inv_covs, means, allN, allF)
+            return _repair_nonfinite_rows(self.extract, out, stats)
         import concurrent.futures
         with concurrent.futures.ThreadPoolExecutor(workers) as ex:
             return np.stack(list(ex.map(lambda s: self.extract(*s), stats)))
@@ -496,7 +509,8 @@ class IvectorExtractor:
             T, means, inv_vars = self.arrays()
             allN = np.stack([s[0] for s in stats])
             allF = np.stack([s[1] for s in stats])
-            return ivector_jax.extract_ivectors(T, inv_vars, means, allN, allF)
+            out = ivector_jax.extract_ivectors(T, inv_vars, means, allN, allF)
+            return _repair_nonfinite_rows(self.extract, out, stats)
         import concurrent.futures
         with concurrent.futures.ThreadPoolExecutor(workers) as ex:
             return np.stack(list(ex.map(lambda s: self.extract(*s), stats)))
@@ -641,10 +655,12 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     """
     import concurrent.futures
 
-    # 'auto' is size-aware: XLA wins big at Kaldi scale (measured 3.3x at
-    # 512 Gauss/400-dim on ONE CPU core, more on TPU — the EM is matmuls),
-    # but at toy scale jit compilation dominates and the scalar C++ is faster.
-    if backend == "auto" and num_gauss < 128:
+    # 'auto' is size-aware: XLA wins big at Kaldi scale (8.6x at 1024
+    # Gauss/400-dim on v5e, 3.3x at 512/400 on ONE CPU core — the EM is
+    # matmuls), but below that jit compilation dominates (especially remote
+    # TPU compiles) and the scalar C++ is faster. Explicit backend='jax'
+    # overrides at any scale.
+    if backend == "auto" and num_gauss < 512:
         backend = "native"
     backend = resolve_backend(backend)
     if verbose:

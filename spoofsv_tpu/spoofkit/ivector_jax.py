@@ -58,23 +58,22 @@ def _chunk_frames(frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return f.reshape(k, _CHUNK, d), w.reshape(k, _CHUNK)
 
 
-def _repair_spd(covs: np.ndarray) -> np.ndarray:
-    """Make every (D, D) slice Cholesky-factorizable *in f32* by the same
-    diagonal-jitter ladder the C++ uses on non-PD accumulators
-    (common.h ``chol_solve``/``spd_inverse``, jitter 1e-10 ×10…). Needed
-    because low-occupancy components can re-estimate to indefinite
-    covariances, which the f64 C++ repairs lazily but would turn the whole
-    jitted f32 sweep into NaNs."""
+def _repair_spd(covs: np.ndarray, max_cond: float = 1e6) -> np.ndarray:
+    """Floor each (D, D) slice's eigenvalues so its condition number stays
+    within what f32 Cholesky handles with margin (~1e6).
+
+    Low-occupancy components can re-estimate to (near-)singular covariances
+    — the f64 C++ shrugs (its lazy jitter ladder, common.h:95-127, plus 15
+    decimal digits of headroom), but a 1e10-conditioned slice NaNs the whole
+    jitted f32 sweep. The floor only perturbs such degenerate components
+    (healthy speech covariances sit far below the bound), playing the same
+    regularizing role as the C++ ladder."""
     out = np.asarray(covs, np.float64).copy()
     for c in range(out.shape[0]):
-        jitter = 1e-10
-        while True:
-            try:
-                np.linalg.cholesky(out[c].astype(np.float32).astype(np.float64))
-                break
-            except np.linalg.LinAlgError:
-                out[c][np.diag_indices(out.shape[1])] += jitter
-                jitter *= 10.0
+        w = np.linalg.eigvalsh(out[c])
+        floor = max(w[-1], 1e-8) / max_cond
+        if w[0] < floor:
+            out[c][np.diag_indices(out.shape[1])] += floor - min(w[0], 0.0)
     return out
 
 
@@ -447,12 +446,19 @@ def _estep_posteriors(t_mat, precision, all_n, fres):
     lmat = (jnp.eye(r, dtype=t_mat.dtype)[None]
             + jnp.einsum("uc,crs->urs", nm, g, precision="highest"))
     rhs = jnp.einsum("cdr,ucd->ur", sinv_t, fres, precision="highest")
-    chol = jax.vmap(jnp.linalg.cholesky)(lmat)
-    w_mean = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
-                      )(chol, rhs)
+    # Jacobi-equilibrated Cholesky: degenerate UBM components can put ~1e10
+    # entries into Σ⁻¹ (the f64 C++ shrugs; a raw f32 factorization of the
+    # resulting ~1e13-condition L loses PD and NaNs). Scaling L to unit
+    # diagonal first — exact in exact arithmetic — removes the row/column
+    # scale disparity that causes it.
+    s = jax.lax.rsqrt(jnp.diagonal(lmat, axis1=-2, axis2=-1))   # (U, R)
+    lmat_s = lmat * s[:, :, None] * s[:, None, :]
+    chol = jax.vmap(jnp.linalg.cholesky)(lmat_s)
+    w_mean = s * jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
+                          )(chol, rhs * s)
     eye = jnp.eye(r, dtype=t_mat.dtype)
     linv = jax.vmap(lambda L: jax.scipy.linalg.cho_solve((L, True), eye)
-                    )(chol)
+                    )(chol) * s[:, :, None] * s[:, None, :]
     return w_mean, linv, fres, nm
 
 
@@ -469,12 +475,16 @@ def _em_accumulate_and_update(t_mat, precision, all_n, fres):
     b = jnp.einsum("ucd,ui->cdi", fres, w_mean, precision="highest")
     # M-step: T_c = B_c A_c⁻¹ (ivector.cc:243-252). A_c is PSD; the tiny
     # ridge matches the C++ chol_solve jitter ladder's role for empty
-    # components (common.h:95-101) without branching.
+    # components (common.h:95-101) without branching. Same Jacobi
+    # equilibration as the E-step (A⁻¹ = S·As⁻¹·S with S = diag(A)^-½).
     r = t_mat.shape[2]
     a = a + 1e-8 * jnp.eye(r, dtype=t_mat.dtype)[None]
-    chol = jax.vmap(jnp.linalg.cholesky)(a)
-    t_new = jax.vmap(lambda L, bc: jax.scipy.linalg.cho_solve(
-        (L, True), bc.T).T)(chol, b)
+    sa = jax.lax.rsqrt(jnp.diagonal(a, axis1=-2, axis2=-1))     # (C, R)
+    a_s = a * sa[:, :, None] * sa[:, None, :]
+    chol = jax.vmap(jnp.linalg.cholesky)(a_s)
+    t_new = jax.vmap(lambda L, bc, sc: (
+        jax.scipy.linalg.cho_solve((L, True), bc.T * sc[:, None]) * sc[:, None]
+    ).T)(chol, b, sa)
     return t_new
 
 
@@ -535,6 +545,7 @@ def extract_ivectors(t_mat: np.ndarray, precision: np.ndarray,
         jnp.asarray(np.asarray(precision, np.float32)),
         jnp.asarray(np.asarray(all_n, np.float32)),
         jnp.asarray(_host_fres(ubm_means, all_n, all_f)))
-    out = np.asarray(w_mean, np.float64)
-    _check_finite("i-vectors", out)
-    return out
+    # NB: rows can in principle still come out non-finite for pathological
+    # stats; callers (extract_batch) re-solve those rows with the f64 native
+    # path rather than failing the whole batch.
+    return np.asarray(w_mean, np.float64)

@@ -26,16 +26,29 @@ def _run_worker(process_id, num_processes, port, out_npz, workdir, wait=True):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     env["PYTHONPATH"] = _REPO  # keep the TPU-tunnel site hook out
+    # Log to a FILE, never a pipe: an unread stdout pipe fills with XLA
+    # cache-load warnings, the writer blocks mid-collective, and the OTHER
+    # rank then hangs in gloo — a deadlock that only appears once the
+    # compilation cache has enough entries to overflow the 64 KB buffer.
+    log_path = os.path.join(workdir, f"worker_{process_id}.log")
+    log = open(log_path, "w")
     p = subprocess.Popen(
         [sys.executable, _WORKER, str(process_id), str(num_processes),
          str(port), out_npz, workdir],
-        env=env, cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True)
+        env=env, cwd=_REPO, stdout=log, stderr=subprocess.STDOUT)
+    p._spoofsv_log = log_path  # type: ignore[attr-defined]
     if not wait:
         return p
-    out, _ = p.communicate(timeout=420)
-    assert p.returncode == 0, f"worker {process_id}/{num_processes}:\n{out[-3000:]}"
-    return out
+    rc = p.wait(timeout=420)
+    log.close()
+    assert rc == 0, (f"worker {process_id}/{num_processes}:\n"
+                     f"{_log_tail(log_path)}")
+    return log_path
+
+
+def _log_tail(path: str, n: int = 3000) -> str:
+    with open(path) as f:
+        return f.read()[-n:]
 
 
 def _free_port() -> int:
@@ -83,8 +96,8 @@ class TestTwoProcessTraining:
                          str(tmp_path), wait=False)
         try:
             _run_worker(1, 2, port, str(tmp_path / "p1.npz"), str(tmp_path))
-            out0, _ = p0.communicate(timeout=60)
-            assert p0.returncode == 0, f"rank 0:\n{out0[-3000:]}"
+            rc0 = p0.wait(timeout=60)
+            assert rc0 == 0, f"rank 0:\n{_log_tail(p0._spoofsv_log)}"
         finally:
             if p0.poll() is None:
                 p0.kill()
