@@ -180,6 +180,25 @@ def istft(spec: jnp.ndarray, n_fft: int, hop_length: int,
                     win_length, center, use_matmul=False)
 
 
+def gl_advance_angles(t_frames: int, freq_bins: int, n_fft: int,
+                      hop_length: int, dtype=jnp.float32
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vocoder-consistent Griffin-Lim phase init: bin ``k`` advanced by its
+    center frequency per hop — ``φ[t, k] = 2π·hop·k·t / n_fft`` (exact via
+    integer mod ``n_fft``). A far better starting point than random phases
+    for (quasi-)harmonic audio: measured on the reference's GL input
+    distribution AND real trained-TTS magnitudes, GL from this init reaches
+    random-init-64-iteration spectral convergence in 24 iterations and beats
+    it at 32 (see docs/PARITY.md; selected by ``Config.tpu.griffin_lim_init``).
+    Returns ``(cos φ, sin φ)`` of shape ``(t_frames, freq_bins)``.
+    """
+    t = jnp.arange(t_frames, dtype=jnp.int32)[:, None]
+    k = jnp.arange(freq_bins, dtype=jnp.int32)[None, :]
+    p = (t * ((k * hop_length) % n_fft)) % n_fft
+    phase = p.astype(jnp.float32) * np.float32(2.0 * np.pi / n_fft)
+    return jnp.cos(phase).astype(dtype), jnp.sin(phase).astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "hop_length", "win_length", "n_iter", "use_matmul", "precision"))
 def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,

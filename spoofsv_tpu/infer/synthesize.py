@@ -62,16 +62,24 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
             peak = jnp.max(x, axis=(1, 2), keepdims=True)
             x = x / jnp.maximum(peak, 1e-8)
         spec = jnp.power(x, power)
+        init_mode = getattr(cfg.tpu, "griffin_lim_init", "random")
         if use_pallas:
             from spoofsv_tpu.ops.pallas_gl import griffin_lim_fused
             audio = griffin_lim_fused(
                 spec, key, n_fft, hop, n_fft, n_iter=n_iter,
                 precision=precision,
                 int8_fwd=getattr(cfg.tpu, "griffin_lim_int8", False),
-                seeds=seeds)
+                seeds=seeds, init_mode=init_mode)
         else:
+            ia = None
+            if init_mode == "advance":
+                a_re, a_im = jaxdsp.gl_advance_angles(
+                    spec.shape[1], spec.shape[2], n_fft, hop)
+                ia = (jnp.broadcast_to(a_re, spec.shape),
+                      jnp.broadcast_to(a_im, spec.shape))
             audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft,
-                                       n_iter=n_iter, precision=precision)
+                                       n_iter=n_iter, precision=precision,
+                                       init_angles=ia)
         return jaxdsp.deemphasis(audio, coeff=cfg.preemph)
 
     return vocode

@@ -123,7 +123,7 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
                wvec, invw_l, invw_r, flip, ana, sedge, eana, sig, *extra,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
-               momentum: float, R: int, int8_fwd: bool):
+               momentum: float, R: int, int8_fwd: bool, init_mode: str):
     N = n_fft
     F = N // 2 + 1
     Fa = F - 1            # MXU-aligned bin count; Nyquist handled rank-1
@@ -216,17 +216,28 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
                 deqv[ri, r0:r0 + ts, :] = jnp.broadcast_to(
                     amax * f32(1.0 / (126.5 * 127.0 * N)), (ts, 128))
 
-    # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32 wrap-
-    # around multiplies + logical shifts give identical bits)
     tt_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 0)
     kk_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 1)
-    for ri in range(R):
-        seed = seed_ref[pl.program_id(0) * R + ri]
-        h = _hash_mix(tt_, kk_, seed)
-        phase = (h & jnp.int32(0xFFFFFF)).astype(f32) * f32(
-            2.0 * np.pi / (1 << 24))
-        angre_ref[ri] = jnp.cos(phase).astype(bf16)
-        angim_ref[ri] = jnp.sin(phase).astype(bf16)
+    if init_mode == "advance":
+        # vocoder-consistent init: φ[t,k] = 2π·hop·k·t/N via exact int mod N
+        # (jaxdsp.gl_advance_angles mirror; deterministic — seeds unused)
+        hk = (kk_ * jnp.int32(hop)) % jnp.int32(N)
+        phase = ((tt_ * hk) % jnp.int32(N)).astype(f32) * f32(2.0 * np.pi / N)
+        a_re = jnp.cos(phase).astype(bf16)
+        a_im = jnp.sin(phase).astype(bf16)
+        for ri in range(R):
+            angre_ref[ri] = a_re
+            angim_ref[ri] = a_im
+    else:
+        # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32
+        # wrap-around multiplies + logical shifts give identical bits)
+        for ri in range(R):
+            seed = seed_ref[pl.program_id(0) * R + ri]
+            h = _hash_mix(tt_, kk_, seed)
+            phase = (h & jnp.int32(0xFFFFFF)).astype(f32) * f32(
+                2.0 * np.pi / (1 << 24))
+            angre_ref[ri] = jnp.cos(phase).astype(bf16)
+            angim_ref[ri] = jnp.sin(phase).astype(bf16)
 
     def _rev(x, width):
         """Exact lane reversal of a (1, width) f32 vector via the 0/1 flip
@@ -442,10 +453,12 @@ def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Ar
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_fft", "hop", "n_iter", "momentum", "interpret", "int8_fwd"))
+    "n_fft", "hop", "n_iter", "momentum", "interpret", "int8_fwd",
+    "init_mode"))
 def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                     hop: int, n_iter: int, momentum: float,
-                    interpret: bool, int8_fwd: bool) -> Tuple[jax.Array, jax.Array]:
+                    interpret: bool, int8_fwd: bool,
+                    init_mode: str = "random") -> Tuple[jax.Array, jax.Array]:
     B, T, F = mag_bf16.shape
     # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
     # loops full TT tiles plus one short remainder tile
@@ -461,7 +474,7 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
 
     kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
                                n_iter=n_iter, momentum=momentum, R=R,
-                               int8_fwd=int8_fwd)
+                               int8_fwd=int8_fwd, init_mode=init_mode)
     kw = {}
     if _VMEM is not None and not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -540,7 +553,8 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
                       precision=jax.lax.Precision.DEFAULT,
                       interpret: Optional[bool] = None,
                       int8_fwd: bool = False,
-                      seeds: Optional[jax.Array] = None) -> jax.Array:
+                      seeds: Optional[jax.Array] = None,
+                      init_mode: str = "random") -> jax.Array:
     """Drop-in for :func:`spoofsv_tpu.dsp.jaxdsp.griffin_lim` running the
     64-iteration loop in a single VMEM-resident Pallas kernel.
 
@@ -561,9 +575,15 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
 
     B, T, F = mag.shape
     if pltpu is None or not _supported(n_fft, hop_length, win_length, T):
+        ia = None
+        if init_mode == "advance":
+            a_re, a_im = jaxdsp.gl_advance_angles(T, F, n_fft, hop_length)
+            ia = (jnp.broadcast_to(a_re, mag.shape),
+                  jnp.broadcast_to(a_im, mag.shape))
         return jaxdsp.griffin_lim(mag, key, n_fft, hop_length, win_length,
                                   n_iter=n_iter, momentum=momentum,
-                                  use_matmul=use_matmul, precision=precision)
+                                  use_matmul=use_matmul, precision=precision,
+                                  init_angles=ia)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     del use_matmul  # only the XLA fallback path distinguishes backends
@@ -571,5 +591,6 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
         seeds = gl_seeds(key, B)
     _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
                                   n_fft, hop_length, n_iter, momentum,
-                                  bool(interpret), bool(int8_fwd))
+                                  bool(interpret), bool(int8_fwd),
+                                  init_mode=init_mode)
     return audio

@@ -141,6 +141,69 @@ class TestFusedGriffinLim:
         assert _rel_l2(audio, ref) < 0.02
 
 
+    def test_advance_init_matches_xla(self):
+        """init_mode='advance': kernel phase init == gl_advance_angles, so
+        one projection step matches the XLA path fed the same angles."""
+        mag = _test_mag(2, 40, seed=7)
+        B, T, F = mag.shape
+        a_re, a_im = jaxdsp.gl_advance_angles(T, F, NFFT, HOP,
+                                              dtype=jnp.bfloat16)
+        ia = (jnp.broadcast_to(a_re, mag.shape),
+              jnp.broadcast_to(a_im, mag.shape))
+        a_x = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(0), NFFT, HOP, NFFT,
+                                 n_iter=1, momentum=0.0, use_matmul=True,
+                                 precision=jax.lax.Precision.DEFAULT,
+                                 init_angles=ia)
+        seeds = jnp.zeros((B,), jnp.int32)
+        _, _, a_f = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds, NFFT,
+                                    HOP, 1, 0.0, True, False,
+                                    init_mode="advance")
+        assert _rel_l2(a_f, a_x) < 0.03
+
+    def test_advance_init_quality_and_determinism(self):
+        """Advance init must not be worse than random at equal iterations
+        (measured: it reaches random-64 quality by 24 iters on the real
+        pipeline distributions — see docs/PARITY.md), and is deterministic
+        (seed-independent)."""
+        mag = _test_mag(1, 80, seed=8)
+        e_rand = _spectral_err(_fused_gl(mag, n_iter=8), mag)
+        seeds = jnp.asarray([1234], jnp.int32)
+        _, _, a1 = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds, NFFT,
+                                   HOP, 8, 0.99, True, False,
+                                   init_mode="advance")
+        _, _, a2 = _fused_gl_phase(mag.astype(jnp.bfloat16),
+                                   seeds * 0 + 77, NFFT, HOP, 8, 0.99, True,
+                                   False, init_mode="advance")
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        e_adv = _spectral_err(a1, mag)
+        assert e_adv < e_rand + 0.02, (e_adv, e_rand)
+
+    def test_vocoder_honors_init_knob(self):
+        """make_vocoder routes Config.tpu.griffin_lim_init to the GL call:
+        'advance' output is key-independent, 'random' is not."""
+        from spoofsv_tpu.config import Config
+        from spoofsv_tpu.infer.synthesize import make_vocoder
+
+        import dataclasses
+
+        mag = _test_mag(1, 24, seed=9)
+        lin = (mag / jnp.max(mag)) ** 0.6   # pipeline-normalized input
+        tpu_a = dataclasses.replace(Config().tpu, griffin_lim_init="advance",
+                                    griffin_lim_iters=4)
+        tpu_r = dataclasses.replace(Config().tpu, griffin_lim_init="random",
+                                    griffin_lim_iters=4)
+        cfg_a = Config().replace(tpu=tpu_a)
+        cfg_r = Config().replace(tpu=tpu_r)
+        va = make_vocoder(cfg_a)
+        vr = make_vocoder(cfg_r)
+        y1 = np.asarray(va(lin, jax.random.PRNGKey(0)))
+        y2 = np.asarray(va(lin, jax.random.PRNGKey(9)))
+        np.testing.assert_array_equal(y1, y2)
+        r1 = np.asarray(vr(lin, jax.random.PRNGKey(0)))
+        r2 = np.asarray(vr(lin, jax.random.PRNGKey(9)))
+        assert np.abs(r1 - r2).max() > 0
+        assert np.isfinite(y1).all()
+
     def test_int8_fwd_converges(self):
         """int8 forward-DFT variant (production default on TPU): GL's
         projection absorbs the quantization — spectral convergence within a
