@@ -144,4 +144,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-TPU tunnel occasionally drops with a transient
+    # `UNAVAILABLE: TPU backend setup/compile error`; retry a few times so a
+    # blip at bench time doesn't lose the round's recorded headline.
+    for attempt in range(4):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 - jax wraps tunnel errors variously
+            if attempt == 3 or "UNAVAILABLE" not in str(e):
+                raise
+            print(f"[bench] transient backend error, retrying: {e}",
+                  file=sys.stderr)
+            time.sleep(60)

@@ -39,7 +39,7 @@ def _run_worker(process_id, num_processes, port, out_npz, workdir, wait=True):
     p._spoofsv_log = log_path  # type: ignore[attr-defined]
     if not wait:
         return p
-    rc = p.wait(timeout=420)
+    rc = p.wait(timeout=900)
     log.close()
     assert rc == 0, (f"worker {process_id}/{num_processes}:\n"
                      f"{_log_tail(log_path)}")
@@ -96,7 +96,7 @@ class TestTwoProcessTraining:
                          str(tmp_path), wait=False)
         try:
             _run_worker(1, 2, port, str(tmp_path / "p1.npz"), str(tmp_path))
-            rc0 = p0.wait(timeout=60)
+            rc0 = p0.wait(timeout=120)
             assert rc0 == 0, f"rank 0:\n{_log_tail(p0._spoofsv_log)}"
         finally:
             if p0.poll() is None:
