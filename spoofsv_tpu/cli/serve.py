@@ -1,0 +1,80 @@
+"""``spoofsv-serve``: production micro-batching synthesis server.
+
+No reference counterpart — the reference synthesizes offline
+(``synthesize.py``); this serves the same trained checkpoints
+(``config.json`` ``INFERENCE_TEXT2MEL_MODEL`` / ``INFERENCE_SSRN_MODEL``)
+behind an HTTP endpoint with TPU micro-batching (see
+:mod:`spoofsv_tpu.serve`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    ps = argparse.ArgumentParser(description="spoofsv synthesis server")
+    ps.add_argument("-C", "--configuration", type=str, default=None)
+    ps.add_argument("--host", type=str, default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8571)
+    ps.add_argument("--max_batch", type=int, default=8,
+                    help="micro-batch aggregation limit (power-of-two bucket "
+                         "ladder below it; each bucket is one compiled program)")
+    ps.add_argument("--batch_wait_ms", type=float, default=10.0,
+                    help="max time to wait for co-batched requests after the "
+                         "first arrives")
+    ps.add_argument("--trim_db", type=float, default=30.0,
+                    help="output silence trim threshold (reference "
+                         "generate_test_utterances.py:136); negative disables")
+    ps.add_argument("--max_seconds", type=float, default=None,
+                    help="cap output duration (reference caps spoof utts at 9 s)")
+    ps.add_argument("--no_warmup", action="store_true",
+                    help="skip pre-compiling the bucket-ladder programs")
+    ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
+                    help="data-parallel serving over an N-device mesh")
+    args = ps.parse_args(argv)
+
+    import jax
+
+    from spoofsv_tpu.cli.main import build_models, inference_dtype, resolve_mesh
+    from spoofsv_tpu.config import load_config
+    from spoofsv_tpu.infer.synthesize import Synthesizer
+    from spoofsv_tpu.serve import (BatchingSynthesizer, SpeakerTable,
+                                   make_http_server)
+    from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+    jax.config.update("jax_compilation_cache_dir",
+                      __import__("os").path.expanduser("~/.cache/spoofsv_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    cfg = load_config(args.configuration)
+    melsyn, ssrn, _, _ = build_models(cfg, "conditional",
+                                      dtype=inference_dtype(cfg))
+    m1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
+    m2 = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg, kind="ssrn")
+    syn = Synthesizer(cfg, melsyn, ssrn, m1, m2, mesh=resolve_mesh(args, cfg))
+
+    batcher = BatchingSynthesizer(
+        cfg, syn, max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
+        trim_db=args.trim_db if args.trim_db >= 0 else None,
+        max_seconds=args.max_seconds)
+    if not args.no_warmup:
+        print("[serve] warming bucket-ladder compiles "
+              f"{batcher._ladder()} ...", flush=True)
+        batcher.warmup()
+    speakers = SpeakerTable(cfg.spk_emb_dir)
+    httpd = make_http_server(batcher, speakers, host=args.host, port=args.port)
+    print(f"[serve] listening on http://{args.host}:{httpd.server_address[1]} "
+          f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms, "
+          f"backend={jax.default_backend()})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""Production synthesis serving: micro-batching TTS server on TPU.
+
+The reference has no serving story — synthesis is an offline batch script
+(``synthesize.py``, ``generate_test_utterances.py``). This module adds the
+production path: an HTTP front-end over a micro-batching scheduler that
+aggregates concurrent requests into fixed-shape device batches for the fused
+decode→SSRN→Griffin-Lim pipeline (:class:`spoofsv_tpu.infer.synthesize.Synthesizer`).
+
+TPU-native design decisions:
+
+* **Fixed compiled shapes** — text is always padded to ``cfg.max_text_len``
+  and the batch is padded up to the next size in a power-of-two bucket
+  ladder (1, 2, 4, …, ``max_batch``), so at most ``log2(max_batch)+1``
+  programs are ever compiled; all of them can be warmed at startup. No
+  dynamic shapes reach XLA.
+* **Micro-batching** — requests are aggregated until ``max_batch`` or
+  ``batch_wait_ms`` elapses after the first queued request. Batch padding
+  rows repeat a real row, so padding never introduces a fresh compile or a
+  degenerate input.
+* **Batch-invariant outputs** — with the production Griffin-Lim init
+  (``griffin_lim_init="advance"``) the whole pipeline is deterministic and
+  seed-independent, so a request's audio does not depend on which batch it
+  rode in (covered by ``tests/test_serve.py``). Under ``"random"`` init the
+  per-batch PRNG key makes audio batch-dependent; the server still works
+  but loses this property.
+* **Zero extra dependencies** — the HTTP layer is stdlib
+  ``http.server.ThreadingHTTPServer``; audio is returned as RIFF/WAV bytes
+  (16-bit PCM) or JSON float samples.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.data.text import encode_texts
+from spoofsv_tpu.infer.synthesize import Synthesizer, finalize_audio
+
+
+def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    """Encode a float waveform as 16-bit PCM RIFF/WAV bytes (in memory)."""
+    from scipy.io import wavfile
+
+    y = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (y * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+class SpeakerTable:
+    """Named speaker-embedding lookup over the reference's ``spk_emb/``
+    layout (one 200-dim ``<name>.npy`` per speaker — SURVEY.md §2 asset)."""
+
+    def __init__(self, spk_emb_dir: str):
+        self.dir = spk_emb_dir
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def names(self) -> List[str]:
+        if not self.dir or not os.path.isdir(self.dir):
+            return []
+        return sorted(f[:-4] for f in os.listdir(self.dir) if f.endswith(".npy"))
+
+    def __call__(self, name: str) -> np.ndarray:
+        if name not in self._cache:
+            path = os.path.join(self.dir, name + ".npy")
+            if not os.path.isfile(path):
+                raise KeyError(f"unknown speaker {name!r}")
+            self._cache[name] = np.load(path).astype(np.float32).reshape(-1)
+        return self._cache[name]
+
+
+@dataclass
+class _Pending:
+    text_ids: np.ndarray           # (N,) int32, already padded to max_text_len
+    spk_emb: np.ndarray            # (spk_emb_dim,) f32
+    t_enq: float = field(default_factory=time.perf_counter)
+    done: threading.Event = field(default_factory=threading.Event)
+    audio: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+
+
+@dataclass
+class ServeStats:
+    n_requests: int = 0
+    n_batches: int = 0
+    n_errors: int = 0
+    max_batch_seen: int = 0
+    audio_seconds: float = 0.0
+    device_seconds: float = 0.0    # wall time inside device calls
+    latencies_ms: List[float] = field(default_factory=list)  # bounded
+
+    def as_dict(self) -> dict:
+        lat = sorted(self.latencies_ms)
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 1) if lat else None
+
+        return {
+            "n_requests": self.n_requests,
+            "n_batches": self.n_batches,
+            "n_errors": self.n_errors,
+            "mean_batch": round(self.n_requests / self.n_batches, 2)
+            if self.n_batches else None,
+            "max_batch_seen": self.max_batch_seen,
+            "audio_seconds": round(self.audio_seconds, 1),
+            "device_seconds": round(self.device_seconds, 2),
+            "realtime_factor": round(self.audio_seconds / self.device_seconds, 1)
+            if self.device_seconds > 0 else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+        }
+
+
+class BatchingSynthesizer:
+    """Thread-safe micro-batching front of a :class:`Synthesizer`.
+
+    ``synthesize()`` may be called from any number of threads; a single
+    worker thread drains the queue, aggregates up to ``max_batch`` requests
+    (waiting at most ``batch_wait_ms`` after the first), pads the batch up
+    the power-of-two bucket ladder, runs the fused pipeline once, and
+    completes each request with its trimmed, peak-normalized waveform.
+    """
+
+    def __init__(self, cfg: Config, synthesizer: Synthesizer,
+                 max_batch: int = 8, batch_wait_ms: float = 10.0,
+                 trim_db: Optional[float] = 30.0,
+                 max_seconds: Optional[float] = None):
+        assert max_batch >= 1
+        self.cfg = cfg
+        self.syn = synthesizer
+        self.max_batch = max_batch
+        self.batch_wait_s = batch_wait_ms / 1e3
+        self.trim_db = trim_db
+        self.max_seconds = max_seconds
+        self.stats = ServeStats()
+        self._stats_lock = threading.Lock()
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._batch_counter = 0
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="spoofsv-serve-batcher")
+        self._worker.start()
+
+    # ----------------------------------------------------------- public API
+    def synthesize(self, text: str, spk_emb: np.ndarray,
+                   timeout: Optional[float] = None) -> np.ndarray:
+        """Encode + enqueue one utterance; block until its audio is ready."""
+        if self._closed:
+            raise RuntimeError("server is shut down")
+        ids = encode_texts([text], self.cfg.vocabulary,
+                           max_len=self.cfg.max_text_len)[0]
+        spk = np.asarray(spk_emb, np.float32).reshape(-1)
+        if spk.shape[0] != self.cfg.spk_emb_dim:
+            raise ValueError(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
+                             f"got {spk.shape[0]}")
+        req = _Pending(text_ids=ids, spk_emb=spk)
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error is not None:
+            raise req.error
+        return req.audio
+
+    def warmup(self, buckets: Optional[List[int]] = None) -> None:
+        """Pre-compile the bucket-ladder programs (first-compile on a remote
+        TPU takes tens of seconds; do it before traffic arrives)."""
+        import jax
+
+        for b in buckets or self._ladder():
+            text = np.zeros((b, self.cfg.max_text_len), np.int32)
+            text[:, 0] = 1
+            spk = np.zeros((b, self.cfg.spk_emb_dim), np.float32)
+            audio, _, _ = self.syn(text, spk, jax.random.PRNGKey(0))
+            np.asarray(audio[:1, :8])   # force
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    # ------------------------------------------------------------ internals
+    def _ladder(self) -> List[int]:
+        out, b = [], 1
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return out
+
+    def _bucket(self, n: int) -> int:
+        for b in self._ladder():
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def _collect(self) -> Optional[List[_Pending]]:
+        """Block for the first request, then aggregate for batch_wait_s."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.batch_wait_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)   # re-post the shutdown sentinel
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        import jax
+
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            n = len(batch)
+            bsz = self._bucket(n)
+            text = np.stack([r.text_ids for r in batch]
+                            + [batch[0].text_ids] * (bsz - n))
+            spk = np.stack([r.spk_emb for r in batch]
+                           + [batch[0].spk_emb] * (bsz - n))
+            self._batch_counter += 1
+            key = jax.random.PRNGKey(self._batch_counter)
+            t0 = time.perf_counter()
+            try:
+                audio, _, _ = self.syn(text, spk, key)
+                audio = np.asarray(audio[:n])
+            except BaseException as e:  # noqa: BLE001 - forwarded per-request
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+                with self._stats_lock:
+                    self.stats.n_errors += n
+                continue
+            dt = time.perf_counter() - t0
+            now = time.perf_counter()
+            for i, r in enumerate(batch):
+                try:
+                    y = finalize_audio(audio[i], self.cfg,
+                                       trim_db=self.trim_db,
+                                       max_seconds=self.max_seconds)
+                    if not np.all(np.isfinite(y)):
+                        raise ValueError("synthesis produced non-finite audio")
+                    r.audio = y
+                except BaseException as e:  # noqa: BLE001
+                    r.error = e
+                r.done.set()
+            with self._stats_lock:
+                s = self.stats
+                s.n_requests += n
+                s.n_batches += 1
+                s.max_batch_seen = max(s.max_batch_seen, n)
+                s.audio_seconds += sum(
+                    len(r.audio) for r in batch if r.audio is not None
+                ) / self.cfg.sampling_rate
+                s.device_seconds += dt
+                s.latencies_ms.extend(
+                    (now - r.t_enq) * 1e3 for r in batch)
+                del s.latencies_ms[:-1000]   # bound the window
+
+    def stats_dict(self) -> dict:
+        with self._stats_lock:
+            return self.stats.as_dict()
+
+
+def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
+                     host: str = "127.0.0.1", port: int = 0,
+                     request_timeout: float = 600.0) -> ThreadingHTTPServer:
+    """HTTP front-end. Endpoints:
+
+    * ``POST /synthesize`` — JSON body ``{"text": "...", "speaker": "p225"}``
+      or ``{"text": "...", "spk_emb": [200 floats]}``; optional
+      ``"format": "wav" | "json"`` (default wav). Returns ``audio/wav``
+      bytes, or ``{"sr": ..., "samples": [...]}``.
+    * ``GET /speakers`` — available speaker names.
+    * ``GET /healthz`` — liveness + serving stats.
+    """
+    cfg = batcher.cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet access log
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "stats": batcher.stats_dict()})
+            elif self.path == "/speakers":
+                self._json(200, {"speakers": speakers.names()})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req["text"]
+                if "spk_emb" in req:
+                    spk = np.asarray(req["spk_emb"], np.float32)
+                else:
+                    spk = speakers(req["speaker"])
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                audio = batcher.synthesize(text, spk, timeout=request_timeout)
+            except BaseException as e:  # noqa: BLE001 - report, don't crash
+                self._json(500, {"error": str(e)})
+                return
+            if req.get("format", "wav") == "json":
+                self._json(200, {"sr": cfg.sampling_rate,
+                                 "samples": np.asarray(audio, np.float64)
+                                 .round(6).tolist()})
+            else:
+                body = wav_bytes(audio, cfg.sampling_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)

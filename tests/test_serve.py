@@ -1,0 +1,203 @@
+"""Serving subsystem: micro-batching scheduler + HTTP front-end.
+
+Covers the production-serving properties :mod:`spoofsv_tpu.serve` claims:
+batch-invariant audio under the deterministic Griffin-Lim init, bucket-ladder
+batching (no per-size recompiles beyond the ladder), request aggregation,
+error isolation, and the HTTP endpoints end-to-end.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spoofsv_tpu.config import Config
+from spoofsv_tpu.infer.synthesize import Synthesizer
+from spoofsv_tpu.models import MelSyn, SSRN
+from spoofsv_tpu.serve import (BatchingSynthesizer, SpeakerTable,
+                               make_http_server, wav_bytes)
+from spoofsv_tpu.train.steps import shift_right
+
+
+@pytest.fixture(scope="module")
+def serve_setup():
+    cfg = Config().replace(hidden_dim=16, text_emb_dim=8, ssrn_dim=16,
+                           spk_emb_dim=10, max_text_len=16, max_frame_num=8)
+    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
+                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                    dtype=jnp.float32)
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1, (2, cfg.max_text_len)),
+                       jnp.int32)
+    spk = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)), jnp.float32)
+    mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (2, 4, cfg.mel.freq_bins)),
+                         jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p1 = melsyn.init(key, shift_right(mel_ex), text, spk)
+    p2 = ssrn.init(key, mel_ex)
+    syn = Synthesizer(cfg, melsyn, ssrn, p1, p2,
+                      n_frames=cfg.max_frame_num, gl_iters=3)
+    return cfg, syn
+
+
+def _mk_batcher(cfg, syn, **kw):
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("batch_wait_ms", 60.0)
+    kw.setdefault("trim_db", None)   # random-param audio may trim to nothing
+    return BatchingSynthesizer(cfg, syn, **kw)
+
+
+class TestBatchingSynthesizer:
+    def test_solo_request_roundtrip(self, serve_setup):
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn)
+        try:
+            spk = np.zeros(cfg.spk_emb_dim, np.float32)
+            audio = b.synthesize("hello world", spk, timeout=120)
+            assert audio.ndim == 1 and len(audio) > 0
+            assert np.all(np.isfinite(audio))
+            st = b.stats_dict()
+            assert st["n_requests"] == 1 and st["n_batches"] == 1
+        finally:
+            b.close()
+
+    def test_batch_invariance(self, serve_setup):
+        """A request's audio must not depend on its co-batched neighbors
+        (production GL init 'advance' is deterministic/seed-independent)."""
+        cfg, syn = serve_setup
+        assert cfg.tpu.griffin_lim_init == "advance"
+        spk = np.zeros(cfg.spk_emb_dim, np.float32)
+        spk2 = np.ones(cfg.spk_emb_dim, np.float32) * 0.3
+
+        b = _mk_batcher(cfg, syn, batch_wait_ms=0.0)
+        try:
+            solo = b.synthesize("batch invariance", spk, timeout=120)
+        finally:
+            b.close()
+
+        b = _mk_batcher(cfg, syn, batch_wait_ms=400.0)
+        try:
+            results = {}
+
+            def fire(name, text, s):
+                results[name] = b.synthesize(text, s, timeout=120)
+
+            threads = [
+                threading.Thread(target=fire, args=("a", "batch invariance", spk)),
+                threading.Thread(target=fire, args=("b", "another sentence", spk2)),
+                threading.Thread(target=fire, args=("c", "third one here", spk2)),
+            ]
+            for t in threads:
+                t.start()
+                time.sleep(0.02)   # all inside the 400 ms aggregation window
+            for t in threads:
+                t.join()
+            st = b.stats_dict()
+            assert st["max_batch_seen"] >= 2, st   # actually co-batched
+            # audio must not depend on co-batched neighbors; B=1 vs B=4 are
+            # different compiled programs, so allow XLA tiling-order noise
+            np.testing.assert_allclose(solo, results["a"], atol=1e-5, rtol=0)
+        finally:
+            b.close()
+
+    def test_bucket_ladder(self, serve_setup):
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=8)
+        try:
+            assert b._ladder() == [1, 2, 4, 8]
+            assert [b._bucket(n) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+        finally:
+            b.close()
+
+    def test_error_isolation(self, serve_setup):
+        """A bad request errors out without killing the worker."""
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn)
+        try:
+            with pytest.raises(ValueError, match="spk_emb"):
+                b.synthesize("x", np.zeros(3, np.float32), timeout=30)
+            audio = b.synthesize("still alive", np.zeros(cfg.spk_emb_dim,
+                                                         np.float32), timeout=120)
+            assert len(audio) > 0
+        finally:
+            b.close()
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server(self, serve_setup, tmp_path_factory):
+        cfg, syn = serve_setup
+        spk_dir = tmp_path_factory.mktemp("spk_emb")
+        np.save(spk_dir / "p225.npy",
+                np.zeros(cfg.spk_emb_dim, np.float32))
+        batcher = _mk_batcher(cfg, syn)
+        httpd = make_http_server(batcher, SpeakerTable(str(spk_dir)),
+                                 host="127.0.0.1", port=0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        yield url
+        httpd.shutdown()
+        batcher.close()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url + "/synthesize", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=120)
+
+    def test_speakers_and_health(self, server):
+        with urllib.request.urlopen(server + "/speakers", timeout=30) as r:
+            assert json.load(r)["speakers"] == ["p225"]
+        with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+            body = json.load(r)
+            assert body["status"] == "ok" and "stats" in body
+
+    def test_synthesize_wav(self, server):
+        with self._post(server, {"text": "hello", "speaker": "p225"}) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            data = r.read()
+        from scipy.io import wavfile
+
+        sr, samples = wavfile.read(io.BytesIO(data))
+        assert sr == 22050 and len(samples) > 0
+
+    def test_synthesize_json_matches_wav(self, server):
+        with self._post(server, {"text": "hello", "speaker": "p225",
+                                 "format": "json"}) as r:
+            body = json.load(r)
+        assert body["sr"] == 22050 and len(body["samples"]) > 0
+
+    def test_spk_emb_vector(self, server):
+        with self._post(server, {"text": "vec", "spk_emb": [0.0] * 10}) as r:
+            assert r.status == 200
+
+    def test_bad_requests(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(server, {"speaker": "p225"})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(server, {"text": "x", "speaker": "nope"})
+        assert e.value.code == 400   # unknown speaker rejected pre-synthesis
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(server + "/nothing", timeout=30)
+        assert e.value.code == 404
+
+
+def test_wav_bytes_roundtrip():
+    from scipy.io import wavfile
+
+    y = np.sin(np.linspace(0, 40, 1000)).astype(np.float32) * 0.5
+    sr, decoded = wavfile.read(io.BytesIO(wav_bytes(y, 22050)))
+    assert sr == 22050
+    np.testing.assert_allclose(decoded / 32767.0, y, atol=1e-4)
