@@ -26,13 +26,15 @@ def main(argv=None) -> None:
                          "mesh (speaker_batch must divide the data axis)")
     args = ps.parse_args(argv)
 
-    from spoofsv_tpu.cli.main import build_models, inference_dtype, resolve_mesh
+    from spoofsv_tpu.cli.main import (apply_runtime_knobs, build_models,
+                                      inference_dtype, resolve_mesh)
     from spoofsv_tpu.config import load_config
     from spoofsv_tpu.infer.synthesize import Synthesizer
     from spoofsv_tpu.spoofkit import spoofgen
     from spoofsv_tpu.utils.checkpoints import load_generator_params
 
     cfg = load_config(args.configuration)
+    apply_runtime_knobs(cfg)
 
     if not args.skip_synthesis:
         melsyn, ssrn, _, _ = build_models(cfg, "conditional",

@@ -42,6 +42,14 @@ def training_dtype(cfg):
     return jnp.float32
 
 
+def apply_runtime_knobs(cfg) -> None:
+    """Apply process-wide TPUConfig knobs that can't travel through module
+    constructors (set before any jit trace)."""
+    from spoofsv_tpu.models.layers import set_default_gate_impl
+
+    set_default_gate_impl(cfg.tpu.highway_gate_impl)
+
+
 def build_models(cfg, pattern: str, dtype=None):
     import jax.numpy as jnp
 
@@ -288,6 +296,7 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = load_config(args.configuration)
+    apply_runtime_knobs(cfg)
 
     if args.save_spectrogram:
         spec_dir = os.path.join(cfg.src_root_dir, "spec")

@@ -36,7 +36,8 @@ def main(argv=None) -> None:
 
     import jax
 
-    from spoofsv_tpu.cli.main import build_models, inference_dtype, resolve_mesh
+    from spoofsv_tpu.cli.main import (apply_runtime_knobs, build_models,
+                                      inference_dtype, resolve_mesh)
     from spoofsv_tpu.config import load_config
     from spoofsv_tpu.infer.synthesize import Synthesizer
     from spoofsv_tpu.serve import (BatchingSynthesizer, SpeakerTable,
@@ -48,6 +49,7 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = load_config(args.configuration)
+    apply_runtime_knobs(cfg)
     melsyn, ssrn, _, _ = build_models(cfg, "conditional",
                                       dtype=inference_dtype(cfg))
     m1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)

@@ -98,6 +98,11 @@ class TPUConfig:
     # VMEM-resident weights + circular ring caches (ops/pallas_decode.py),
     # "auto" = pallas on TPU, scan elsewhere.
     decode_impl: str = "auto"
+    # Full-sequence highway-gate tail (2 LayerNorms + sigmoid blend): "xla"
+    # (plain jnp — XLA fuses the chain) or "pallas" (one VMEM pass,
+    # ops/pallas_ops.fused_highway_gate). Applied process-wide by the CLIs
+    # via models.layers.set_default_gate_impl at startup.
+    highway_gate_impl: str = "xla"
     remat: bool = False                # jax.checkpoint over highway stacks
 
 

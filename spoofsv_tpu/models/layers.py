@@ -30,6 +30,19 @@ LN_EPS = 1e-5
 
 Array = jax.Array
 
+# Full-sequence highway-gate implementation: "xla" (plain jnp, XLA fuses) or
+# "pallas" (ops.pallas_ops.fused_highway_gate — one VMEM pass over the tile).
+# Process-wide default, resolved at trace time; set it once at startup
+# (before any jit trace) via set_default_gate_impl — e.g. from
+# cfg.tpu.highway_gate_impl in the CLIs.
+_DEFAULT_GATE_IMPL = "xla"
+
+
+def set_default_gate_impl(impl: str) -> None:
+    global _DEFAULT_GATE_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _DEFAULT_GATE_IMPL = impl
+
 
 def functional_dropout(module: nn.Module, x: Array, rate: float,
                        deterministic: bool) -> Array:
@@ -56,6 +69,7 @@ class HighwayConv(nn.Module):
     causal: bool = False
     dropout_rate: float = 0.0       # dropout variant: TTSModel_dropout.py:62,85
     dtype: Any = jnp.float32
+    gate_impl: Optional[str] = None   # None → module default (set_default_gate_impl)
 
     @property
     def pad(self) -> int:
@@ -82,7 +96,20 @@ class HighwayConv(nn.Module):
         if self.causal and self.pad > 0:
             inp = jnp.pad(x, ((0, 0), (self.pad, 0), (0, 0)))
         h = self.conv(inp)
-        out = self._gate(h, x)
+        impl = self.gate_impl or _DEFAULT_GATE_IMPL
+        if impl == "pallas" and not self.is_initializing():
+            # One VMEM-resident pass for LN1/LN2/σ/blend instead of the XLA
+            # elementwise chain; init still runs the plain path so the LN
+            # params are created. Single-frame ``step`` keeps the plain path
+            # (tiny rows don't amortize a pallas dispatch inside the scan).
+            from spoofsv_tpu.ops.pallas_ops import fused_highway_gate
+
+            p1 = self.ln1.variables["params"]
+            p2 = self.ln2.variables["params"]
+            out = fused_highway_gate(h, x, p1["scale"], p1["bias"],
+                                     p2["scale"], p2["bias"], eps=LN_EPS)
+        else:
+            out = self._gate(h, x)
         out = functional_dropout(self, out, self.dropout_rate, deterministic)
         return out
 

@@ -3,9 +3,11 @@
 ``fused_highway_gate`` fuses the pointwise tail of every highway convolution
 (``models/TTSModel.py:78-83``): two per-channel LayerNorms on the conv halves,
 the sigmoid gate, and the residual blend — one VMEM-resident pass over the
-(rows, C) tile instead of five XLA ops with HBM round-trips between them. Used
-by ~26 highway layers per Text2Mel step, so this is the dominant non-matmul op
-of training.
+(rows, C) tile instead of five XLA ops with HBM round-trips between them.
+Wired into ``models.layers.HighwayConv`` (~26 highway layers per Text2Mel
+step) behind ``cfg.tpu.highway_gate_impl`` /
+``models.layers.set_default_gate_impl`` (default "xla"; see
+``scripts/bench_gate.py`` for the measured comparison on TPU).
 
 Falls back to interpret mode automatically off-TPU (tests run it on CPU and
 check parity with the plain jnp formulation).

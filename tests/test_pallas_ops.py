@@ -61,3 +61,57 @@ class TestFusedHighwayGate:
             h, xin, p["ln1"]["scale"], p["ln1"]["bias"],
             p["ln2"]["scale"], p["ln2"]["bias"], block_rows=8, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestGateImplSwitch:
+    """cfg.tpu.highway_gate_impl / set_default_gate_impl wiring: whole models
+    produce the same output under either gate implementation."""
+
+    def _toggle(self, impl):
+        from spoofsv_tpu.models import layers
+
+        layers.set_default_gate_impl(impl)
+
+    def test_ssrn_forward_parity(self):
+        from spoofsv_tpu.models import layers
+        from spoofsv_tpu.models.ssrn import SSRN
+
+        rng = np.random.default_rng(3)
+        ssrn = SSRN(freq_bins=80, output_bins=513, ssrn_dim=16,
+                    dtype=jnp.float32)
+        mel = jnp.asarray(rng.uniform(0.05, 0.95, (2, 8, 80)), jnp.float32)
+        params = ssrn.init(jax.random.PRNGKey(0), mel)
+        try:
+            self._toggle("xla")
+            ref = ssrn.apply(params, mel)
+            self._toggle("pallas")
+            out = ssrn.apply(params, mel)
+        finally:
+            layers.set_default_gate_impl("xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_melsyn_teacher_forced_parity(self):
+        from spoofsv_tpu.models import layers
+        from spoofsv_tpu.models.text2mel import MelSyn
+        from spoofsv_tpu.train.steps import shift_right
+
+        rng = np.random.default_rng(4)
+        m = MelSyn(vocab_len=34, condition=True, spk_emb_dim=10,
+                   text_emb_dim=8, freq_bins=80, hidden_dim=16,
+                   dtype=jnp.float32)
+        text = jnp.asarray(rng.integers(1, 30, (2, 9)), jnp.int32)
+        spk = jnp.asarray(rng.normal(size=(2, 10)), jnp.float32)
+        mel = jnp.asarray(rng.uniform(0.05, 0.95, (2, 6, 80)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), shift_right(mel), text, spk)
+        try:
+            self._toggle("xla")
+            y_ref, a_ref = m.apply(params, shift_right(mel), text, spk)
+            self._toggle("pallas")
+            y, a = m.apply(params, shift_right(mel), text, spk)
+        finally:
+            layers.set_default_gate_impl("xla")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                                   atol=2e-5, rtol=1e-5)
