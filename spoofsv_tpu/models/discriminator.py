@@ -47,7 +47,12 @@ class Critic1D(nn.Module):
         x = nn.Dense(self.disc_dim, kernel_init=KAIMING, dtype=self.dtype, name="conv1")(x)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")(x)
         x = drop(x, "dp1")
-        x = HighwayConv(self.disc_dim, 3, 1, False, 0.0, self.dtype, name="hc")(x)
+        # gate_impl pinned to "xla": the WGAN-GP gradient penalty
+        # differentiates the critic twice (grad-of-grad), which cannot pass
+        # through the fused gate's custom_vjp — and one highway conv here is
+        # perf-irrelevant anyway.
+        x = HighwayConv(self.disc_dim, 3, 1, False, 0.0, self.dtype,
+                        gate_impl="xla", name="hc")(x)
         x = nn.Dense(64, kernel_init=KAIMING, dtype=self.dtype, name="conv2")(x)
         x = nn.avg_pool(x, (self.pool1,), strides=(self.pool1,))
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln2")(x)

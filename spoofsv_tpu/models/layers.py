@@ -102,12 +102,12 @@ class HighwayConv(nn.Module):
             # elementwise chain; init still runs the plain path so the LN
             # params are created. Single-frame ``step`` keeps the plain path
             # (tiny rows don't amortize a pallas dispatch inside the scan).
-            from spoofsv_tpu.ops.pallas_ops import fused_highway_gate
+            from spoofsv_tpu.ops.pallas_ops import fused_highway_gate_ad
 
             p1 = self.ln1.variables["params"]
             p2 = self.ln2.variables["params"]
-            out = fused_highway_gate(h, x, p1["scale"], p1["bias"],
-                                     p2["scale"], p2["bias"], eps=LN_EPS)
+            out = fused_highway_gate_ad(h, x, p1["scale"], p1["bias"],
+                                        p2["scale"], p2["bias"])
         else:
             out = self._gate(h, x)
         out = functional_dropout(self, out, self.dropout_rate, deterministic)

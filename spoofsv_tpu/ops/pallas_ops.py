@@ -115,3 +115,30 @@ def highway_gate_reference(h: jax.Array, x: jax.Array, ln1_scale, ln1_bias,
     n2 = ln(h2.astype(jnp.float32), ln2_scale, ln2_bias)
     g = jax.nn.sigmoid(n1)
     return (g * n2 + (1 - g) * x.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: pallas_call has no VJP rule, so training through the
+# fused gate needs one. Forward = the fused kernel; backward = the VJP of the
+# (numerically equivalent) plain-jnp formulation — XLA fuses the backward
+# chain the same way it fuses the plain forward, so grads cost what the "xla"
+# gate's grads cost and the fused kernel's win applies to the forward pass.
+# ---------------------------------------------------------------------------
+@jax.custom_vjp
+def fused_highway_gate_ad(h: jax.Array, x: jax.Array, ln1_scale: jax.Array,
+                          ln1_bias: jax.Array, ln2_scale: jax.Array,
+                          ln2_bias: jax.Array) -> jax.Array:
+    return fused_highway_gate(h, x, ln1_scale, ln1_bias, ln2_scale, ln2_bias)
+
+
+def _gate_ad_fwd(h, x, s1, b1, s2, b2):
+    return fused_highway_gate(h, x, s1, b1, s2, b2), (h, x, s1, b1, s2, b2)
+
+
+def _gate_ad_bwd(res, g):
+    h, x, s1, b1, s2, b2 = res
+    out, vjp = jax.vjp(highway_gate_reference, h, x, s1, b1, s2, b2)
+    return vjp(jnp.asarray(g, out.dtype))
+
+
+fused_highway_gate_ad.defvjp(_gate_ad_fwd, _gate_ad_bwd)
