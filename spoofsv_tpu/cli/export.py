@@ -1,0 +1,74 @@
+"""``spoofsv-export``: save a framework checkpoint as a reference ``.tar.pth``.
+
+Two-way interop closer (the importer direction is
+``utils/torch_import.py``): point it at an orbax checkpoint directory saved
+by the Trainer (or any checkpoint ``utils.checkpoints.load_generator_params``
+accepts) and it writes a PyTorch checkpoint in the reference repo's schema
+(``train/ordinary.py:271-284``) that the reference's ``melSyn``/``SSRN``/
+``SpeechEmbedder`` classes load unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    ps = argparse.ArgumentParser(description="export to reference .tar.pth")
+    ps.add_argument("--ckpt", required=True,
+                    help="orbax checkpoint dir (Trainer layout) or .tar.pth")
+    ps.add_argument("--kind", required=True,
+                    choices=["text2mel", "ssrn", "critic", "ge2e"])
+    ps.add_argument("--out", required=True, help="output .tar.pth path")
+    ps.add_argument("-C", "--configuration", type=str, default=None)
+    ps.add_argument("--pattern", default="conditional",
+                    choices=["universal", "conditional", "ubm-finetune"])
+    ps.add_argument("--iteration", type=int, default=0)
+    args = ps.parse_args(argv)
+
+    from spoofsv_tpu.cli.main import build_models
+    from spoofsv_tpu.config import load_config
+    from spoofsv_tpu.utils import torch_export
+    from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+    cfg = load_config(args.configuration)
+
+    if args.kind == "ge2e":
+        # GE2E checkpoints are bare param trees (ge2e_harness save format)
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            import os
+
+            params = ckptr.restore(os.path.abspath(args.ckpt))
+        sd = torch_export.export_ge2e_embedder(params)
+        key = None
+    else:
+        melsyn, ssrn, mel_disc, _ = build_models(cfg, args.pattern)
+        model = {"text2mel": melsyn, "ssrn": ssrn, "critic": mel_disc}[args.kind]
+        params = load_generator_params(args.ckpt, model, cfg,
+                                       kind="ssrn" if args.kind == "ssrn"
+                                       else "text2mel")
+        export = {"text2mel": torch_export.export_melsyn,
+                  "ssrn": torch_export.export_ssrn,
+                  "critic": torch_export.export_critic}[args.kind]
+        sd = export(params)
+        key = "disc_state_dict" if args.kind == "critic" else "model_state_dict"
+
+    if key is None:
+        # reference GE2E checkpoints are bare state_dicts
+        # (GE2E/train_speech_embedder.py:98-109)
+        import torch
+        import numpy as np
+
+        torch.save({k: torch.from_numpy(np.asarray(v, np.float32).copy())
+                    for k, v in sd.items()}, args.out)
+    else:
+        torch_export.save_reference_checkpoint(args.out, sd, key=key,
+                                               iteration=args.iteration)
+    print(f"[export] wrote {args.kind} checkpoint ({len(sd)} tensors) "
+          f"to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
