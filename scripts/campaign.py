@@ -304,16 +304,19 @@ def stage_synthesize():
             return len(s)
 
     with contextlib.redirect_stdout(Tee()):
-        cli_main.main(["synthesize", "-C", CFG_PATH, "-T", TAG])
-    t2m_losses, ssrn_losses = [], []
+        cli_main.main(["synthesize", "-C", CFG_PATH, "-T", TAG, "--mcd"])
+    t2m_losses, ssrn_losses, mcds = [], [], []
     for line in buf.getvalue().splitlines():
         if line.startswith("syn set text2mel loss:"):
             t2m_losses.append(float(line.split()[-1]))
         elif line.startswith("syn set ssrn loss:"):
             ssrn_losses.append(float(line.split()[-1]))
+        elif line.startswith("syn set mcd:"):
+            mcds.append(float(line.split()[-2]))
     return {"n_batches": len(t2m_losses),
             "text2mel_loss": float(np.mean(t2m_losses)) if t2m_losses else None,
-            "ssrn_loss": float(np.mean(ssrn_losses)) if ssrn_losses else None}
+            "ssrn_loss": float(np.mean(ssrn_losses)) if ssrn_losses else None,
+            "mcd_db": float(np.mean(mcds)) if mcds else None}
 
 
 def stage_spoofgen(tag=TAG, cfg_path=None):

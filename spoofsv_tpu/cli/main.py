@@ -205,6 +205,7 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
 
     gaw = jnp.asarray(guided_attention_matrix(cfg.max_text_len, cfg.max_frame_num))
     loss_avg_t2m = loss_avg_ssrn = 0.0
+    mcd_vals = []
     n_batches = 0
     for i, batch in enumerate(loader):
         t = batch["mel"].shape[1]
@@ -238,6 +239,16 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
         n_batches += 1
         print(f"syn set text2mel loss: {l1} {bd} {att} {l1+bd+att}")
         print(f"syn set ssrn loss: {l1s} {bds} {l1s+bds}")
+        if args.mcd:
+            # objective quality: DTW-aligned mel-cepstral distortion vs GT
+            # (free AR decoding drifts in time, hence DTW — spoofkit/mcd.py)
+            from spoofsv_tpu.spoofkit.mcd import batch_mcd
+
+            lengths = np.asarray(batch["mel_mask"]).sum(1).astype(int)
+            v = batch_mcd(np.asarray(mel_gt), np.asarray(mel)[:b0], lengths,
+                          analysis_power=cfg.norm.analysis_power)
+            mcd_vals.append(v)
+            print(f"syn set mcd: {v:.3f} dB")
         audio = np.asarray(audio)
         for k in range(audio.shape[0]):
             wav = finalize_audio(audio[k], cfg)
@@ -249,6 +260,11 @@ def run_synthesize(args, cfg, spec_dir: Optional[str]) -> None:
 
         plot_attention(np.asarray(attn[0]), i + 1, fig_dir)
         print(f"batch {i+1}: wrote {audio.shape[0]} wavs to {sample_dir}")
+    if n_batches:
+        print(f"syn set avg: text2mel {loss_avg_t2m / n_batches:.4f} "
+              f"ssrn {loss_avg_ssrn / n_batches:.4f}"
+              + (f" mcd {float(np.mean(mcd_vals)):.3f} dB"
+                 if mcd_vals else ""))
 
 
 def main(argv=None) -> None:
@@ -269,6 +285,9 @@ def main(argv=None) -> None:
     ps.add_argument("--masked_loss", action="store_true",
                     help="exclude padded frames from losses (reference averages over pads)")
     ps.add_argument("--max_iterations", type=int, default=None)
+    ps.add_argument("--mcd", action="store_true",
+                    help="synthesize: also report DTW-aligned mel-cepstral "
+                         "distortion vs ground truth (spoofkit/mcd.py)")
     ps.add_argument("--device_data", choices=["auto", "on", "off"],
                     default="auto",
                     help="keep the bucket-padded dataset device-resident and "

@@ -1,0 +1,104 @@
+"""Mel-cepstral distortion (MCD): the standard objective TTS quality metric.
+
+The reference reports only L1/BD losses against ground truth at synthesis
+time (``synthesize.py:113-128``); MCD adds the field-standard distortion
+number so quality regressions are a scalar, comparable across systems.
+
+Derivation used here (documented because MCD has several conventions):
+mel-cepstra are the orthonormal DCT-II of the log mel spectrogram (the
+framework's (B, T, 80) features, de-normalized back to linear magnitudes by
+inverting the per-utterance ``^analysis_power`` compression), coefficients
+1..K (c0, overall energy, excluded per convention), and
+
+    MCD(t) = (10 / ln 10) * sqrt(2 * sum_k (c_ref[t,k] - c_syn[t,k])^2)   [dB]
+
+averaged over DTW-aligned frames (free decoding drifts in time, so a fixed
+frame pairing under-credits otherwise-good audio; ``align="frame"`` gives the
+plain paired-frame variant for teacher-forced comparisons).
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Tuple
+
+import numpy as np
+
+_LOG_FLOOR = 1e-5
+_MCD_CONST = 10.0 / np.log(10.0)
+
+
+def mel_cepstra(mel: np.ndarray, n_coef: int = 13,
+                analysis_power: float = 0.6) -> np.ndarray:
+    """(T, n_mels) normalized mel → (T, n_coef) cepstra (c1..c_n_coef).
+
+    ``analysis_power``: the feature pipeline stores ``mel_norm^power``
+    (``data/dataset.py:107-112``); invert it before the log.
+    """
+    from scipy.fftpack import dct
+
+    m = np.asarray(mel, np.float64)
+    if analysis_power and analysis_power != 1.0:
+        m = np.power(np.maximum(m, 0.0), 1.0 / analysis_power)
+    logm = np.log(np.maximum(m, _LOG_FLOOR))
+    ceps = dct(logm, type=2, axis=-1, norm="ortho")
+    return ceps[:, 1: n_coef + 1]
+
+
+def dtw_path(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric DTW over euclidean frame distances; returns index arrays
+    (path_x, path_y) of equal length."""
+    tx, ty = len(x), len(y)
+    # pairwise distances (tx, ty)
+    d = np.sqrt(np.maximum(
+        (x * x).sum(-1)[:, None] + (y * y).sum(-1)[None, :]
+        - 2.0 * (x @ y.T), 0.0))
+    acc = np.full((tx + 1, ty + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, tx + 1):
+        # vectorized inner loop would break the row dependency; ty ≲ 1300
+        row = acc[i - 1]
+        cur = acc[i]
+        for j in range(1, ty + 1):
+            cur[j] = d[i - 1, j - 1] + min(row[j], row[j - 1], cur[j - 1])
+    # backtrack
+    i, j = tx, ty
+    px, py = [], []
+    while i > 0 and j > 0:
+        px.append(i - 1)
+        py.append(j - 1)
+        moves = ((acc[i - 1, j - 1], i - 1, j - 1),
+                 (acc[i - 1, j], i - 1, j),
+                 (acc[i, j - 1], i, j - 1))
+        _, i, j = min(moves, key=lambda m: m[0])
+    return np.asarray(px[::-1]), np.asarray(py[::-1])
+
+
+def mcd(mel_ref: np.ndarray, mel_syn: np.ndarray, n_coef: int = 13,
+        analysis_power: float = 0.6,
+        align: Literal["dtw", "frame"] = "dtw") -> float:
+    """MCD in dB between two (T, n_mels) normalized mel spectrograms."""
+    c_ref = mel_cepstra(mel_ref, n_coef, analysis_power)
+    c_syn = mel_cepstra(mel_syn, n_coef, analysis_power)
+    if align == "dtw":
+        pi, pj = dtw_path(c_ref, c_syn)
+        c_ref, c_syn = c_ref[pi], c_syn[pj]
+    else:
+        t = min(len(c_ref), len(c_syn))
+        c_ref, c_syn = c_ref[:t], c_syn[:t]
+    per_frame = _MCD_CONST * np.sqrt(2.0 * ((c_ref - c_syn) ** 2).sum(-1))
+    return float(per_frame.mean())
+
+
+def batch_mcd(mel_ref: np.ndarray, mel_syn: np.ndarray,
+              lengths: np.ndarray | None = None, n_coef: int = 13,
+              analysis_power: float = 0.6,
+              align: Literal["dtw", "frame"] = "dtw") -> float:
+    """Mean MCD over a (B, T, n_mels) batch; ``lengths`` masks ref padding."""
+    vals = []
+    for b in range(mel_ref.shape[0]):
+        t = int(lengths[b]) if lengths is not None else mel_ref.shape[1]
+        if t < 2:
+            continue
+        vals.append(mcd(mel_ref[b, :t], mel_syn[b], n_coef,
+                        analysis_power, align))
+    return float(np.mean(vals)) if vals else float("nan")
