@@ -327,7 +327,7 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                     spk = np.asarray(req["spk_emb"], np.float32)
                 else:
                     spk = speakers(req["speaker"])
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except Exception as e:  # noqa: BLE001 - malformed request body
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
