@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Serving load benchmark: concurrent requests through the micro-batching
+scheduler (and optionally the HTTP layer) on the live TPU.
+
+Reports achieved throughput (requests/s, audio realtime factor) and latency
+percentiles at a given concurrency — the serving-facing complement of
+bench.py's offline batch number. Random params at reference dims (perf only;
+quality is the campaign's job).
+
+Usage: python scripts/bench_serve.py [--concurrency 32] [--requests 128]
+       [--max_batch 16] [--http]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts._benchlib import setup_cache  # noqa: E402
+
+setup_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from spoofsv_tpu.config import Config  # noqa: E402
+from spoofsv_tpu.infer.synthesize import Synthesizer  # noqa: E402
+from spoofsv_tpu.models import MelSyn, SSRN  # noqa: E402
+from spoofsv_tpu.serve import BatchingSynthesizer  # noqa: E402
+from spoofsv_tpu.train.steps import shift_right  # noqa: E402
+
+SENTENCES = [
+    "the birch canoe slid on the smooth planks",
+    "glue the sheet to the dark blue background",
+    "it is easy to tell the depth of a well",
+    "these days a chicken leg is a rare dish",
+    "rice is often served in round bowls",
+    "the juice of lemons makes fine punch",
+    "the box was thrown beside the parked truck",
+    "the hogs were fed chopped corn and garbage",
+]
+
+
+def main():
+    ps = argparse.ArgumentParser()
+    ps.add_argument("--concurrency", type=int, default=32)
+    ps.add_argument("--requests", type=int, default=128)
+    ps.add_argument("--max_batch", type=int, default=16)
+    ps.add_argument("--batch_wait_ms", type=float, default=20.0)
+    ps.add_argument("--http", action="store_true",
+                    help="drive through the HTTP layer instead of in-process")
+    args = ps.parse_args()
+
+    cfg = Config()
+    dtype = (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
+                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                    dtype=dtype)
+    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                ssrn_dim=cfg.ssrn_dim, dtype=dtype)
+    rng = np.random.default_rng(0)
+    text_ex = jnp.asarray(rng.integers(1, cfg.vocab_len - 1,
+                                       (2, cfg.max_text_len)), jnp.int32)
+    spk_ex = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)), jnp.float32)
+    mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (2, 8, cfg.mel.freq_bins)),
+                         jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p1 = jax.jit(melsyn.init)(key, shift_right(mel_ex), text_ex, spk_ex)
+    p2 = jax.jit(ssrn.init)(key, mel_ex)
+    syn = Synthesizer(cfg, melsyn, ssrn, p1, p2)
+
+    batcher = BatchingSynthesizer(cfg, syn, max_batch=args.max_batch,
+                                  batch_wait_ms=args.batch_wait_ms,
+                                  trim_db=None)
+    print(f"[bench_serve] warming ladder {batcher._ladder()} "
+          f"(first compiles are slow)...", flush=True)
+    t0 = time.perf_counter()
+    batcher.warmup()
+    print(f"[bench_serve] warmup {time.perf_counter() - t0:.1f}s", flush=True)
+
+    spk = rng.normal(size=(args.concurrency, cfg.spk_emb_dim)).astype(np.float32)
+
+    target = None
+    if args.http:
+        import urllib.request
+
+        from spoofsv_tpu.serve import SpeakerTable, make_http_server
+
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        port = httpd.server_address[1]
+
+        def call(i, s):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize",
+                data=json.dumps({"text": SENTENCES[i % len(SENTENCES)],
+                                 "spk_emb": s.tolist()}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return (len(r.read()) - 44) // 2   # 16-bit PCM samples
+        target = call
+    else:
+        def call(i, s):
+            return len(batcher.synthesize(SENTENCES[i % len(SENTENCES)], s,
+                                          timeout=600))
+        target = call
+
+    lat = []
+    lock = threading.Lock()
+    idx = iter(range(args.requests))
+
+    def worker(wid):
+        while True:
+            with lock:
+                i = next(idx, None)
+            if i is None:
+                return
+            t = time.perf_counter()
+            n = target(i, spk[wid])
+            dt = time.perf_counter() - t
+            with lock:
+                lat.append((dt, n))
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(args.concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    times = sorted(d for d, _ in lat)
+    audio_s = sum(n for _, n in lat) / cfg.sampling_rate
+    st = batcher.stats_dict()
+    print(json.dumps({
+        "metric": "serve_realtime_factor",
+        "value": round(audio_s / wall, 1),
+        "unit": "audio_s/s",
+        "detail": {
+            "mode": "http" if args.http else "inproc",
+            "requests": args.requests, "concurrency": args.concurrency,
+            "wall_s": round(wall, 2),
+            "req_per_s": round(args.requests / wall, 2),
+            "latency_s_p50": round(times[len(times) // 2], 2),
+            "latency_s_p95": round(times[int(0.95 * len(times)) - 1], 2),
+            "mean_batch": st["mean_batch"], "n_batches": st["n_batches"],
+            "backend": jax.default_backend(),
+        },
+    }))
+    batcher.close()
+
+
+if __name__ == "__main__":
+    main()
