@@ -73,10 +73,29 @@ def dtw_path(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(px[::-1]), np.asarray(py[::-1])
 
 
+def active_length(mel: np.ndarray, threshold: float = 0.02,
+                  min_frames: int = 2) -> int:
+    """Last frame whose peak mel magnitude exceeds ``threshold`` (features are
+    per-utterance max-normalized to [0, 1]). A free-running AR decoder rolls
+    out a fixed frame budget (infer: ``decode_frames``) and pads the tail with
+    near-silence; aligning that tail against a trimmed reference dominates the
+    distortion mean, so MCD trims it first."""
+    peaks = np.asarray(mel).max(axis=-1)
+    above = np.nonzero(peaks > threshold)[0]
+    return max(min_frames, int(above[-1]) + 1) if len(above) else min_frames
+
+
 def mcd(mel_ref: np.ndarray, mel_syn: np.ndarray, n_coef: int = 13,
         analysis_power: float = 0.6,
-        align: Literal["dtw", "frame"] = "dtw") -> float:
-    """MCD in dB between two (T, n_mels) normalized mel spectrograms."""
+        align: Literal["dtw", "frame"] = "dtw",
+        trim_syn_tail: bool = True) -> float:
+    """MCD in dB between two (T, n_mels) normalized mel spectrograms.
+
+    ``mel_ref`` is assumed already silence-trimmed (the feature pipeline trims
+    at load); ``mel_syn``'s fixed-rollout silent tail is trimmed here unless
+    ``trim_syn_tail=False``."""
+    if trim_syn_tail:
+        mel_syn = mel_syn[: active_length(mel_syn)]
     c_ref = mel_cepstra(mel_ref, n_coef, analysis_power)
     c_syn = mel_cepstra(mel_syn, n_coef, analysis_power)
     if align == "dtw":

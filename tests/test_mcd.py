@@ -66,3 +66,13 @@ class TestMCD:
         syn[1, 30:] = 0.9
         val = batch_mcd(b, syn, lengths=np.array([40, 30]), align="frame")
         assert val == pytest.approx(0.0, abs=1e-9)
+
+    def test_silent_rollout_tail_is_trimmed(self, mel):
+        """Fixed-budget AR rollouts pad with near-silence; MCD must not let
+        that tail dominate (the regression seen at campaign scale)."""
+        from spoofsv_tpu.spoofkit.mcd import active_length
+
+        padded = np.concatenate([mel, np.full((200, 80), 1e-4,
+                                               np.float32)], axis=0)
+        assert active_length(padded) == len(mel)
+        assert mcd(mel, padded) == pytest.approx(0.0, abs=1e-9)
