@@ -6,8 +6,14 @@ the sigmoid gate, and the residual blend — one VMEM-resident pass over the
 (rows, C) tile instead of five XLA ops with HBM round-trips between them.
 Wired into ``models.layers.HighwayConv`` (~26 highway layers per Text2Mel
 step) behind ``cfg.tpu.highway_gate_impl`` /
-``models.layers.set_default_gate_impl`` (default "xla"; see
-``scripts/bench_gate.py`` for the measured comparison on TPU).
+``models.layers.set_default_gate_impl``. Default "xla" — measured on v5e
+(``scripts/bench_gate.py``): the kernel wins only the bare teacher-forced
+Text2Mel forward (30.2 vs 45.2 ms @ B=64 bf16), which no production path
+runs alone; the ordinary train step is *slower* under it (21.4 vs 16.9 ms
+@ B=64 f32 — the custom_vjp backward re-derives the plain formulation, so
+grads pay a recompute XLA's own fusion avoids), SSRN inference is slower
+(232 vs 143 ms @ B=768), and AR decode uses the single-frame ``step`` path
+either way. Kept as measured infrastructure behind the knob.
 
 Falls back to interpret mode automatically off-TPU (tests run it on CPU and
 check parity with the plain jnp formulation).
