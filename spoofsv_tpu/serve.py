@@ -134,7 +134,8 @@ class BatchingSynthesizer:
     def __init__(self, cfg: Config, synthesizer: Synthesizer,
                  max_batch: int = 8, batch_wait_ms: float = 10.0,
                  trim_db: Optional[float] = 30.0,
-                 max_seconds: Optional[float] = None):
+                 max_seconds: Optional[float] = None,
+                 device_pcm: Optional[bool] = None):
         assert max_batch >= 1
         self.cfg = cfg
         self.syn = synthesizer
@@ -142,6 +143,24 @@ class BatchingSynthesizer:
         self.batch_wait_s = batch_wait_ms / 1e3
         self.trim_db = trim_db
         self.max_seconds = max_seconds
+        # device_pcm: peak-normalize (×0.75, reference synthesize.py:147) and
+        # quantize to 16-bit PCM ON DEVICE, fetching 2-byte samples instead of
+        # f32 — the fetch is the serving bottleneck on remote-TPU transports
+        # (B=64 × 15 s × 4 B ≈ 85 MB/batch). Only the non-log feature mode
+        # normalizes this way; log mode falls back to the host path.
+        import jax.numpy as jnp
+        import jax as _jax
+
+        self.device_pcm = (not cfg.norm.log_feature) if device_pcm is None \
+            else (device_pcm and not cfg.norm.log_feature)
+
+        @_jax.jit
+        def _pcm(audio):
+            peak = jnp.max(audio, axis=1, keepdims=True)
+            y = audio / jnp.maximum(peak, 1e-8) * 0.75
+            return jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+        self._pcm = _pcm
         self.stats = ServeStats()
         self._stats_lock = threading.Lock()
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
@@ -242,7 +261,10 @@ class BatchingSynthesizer:
             t0 = time.perf_counter()
             try:
                 audio, _, _ = self.syn(text, spk, key)
-                audio = np.asarray(audio[:n])
+                if self.device_pcm:
+                    audio = np.asarray(self._pcm(audio)[:n])   # int16 fetch
+                else:
+                    audio = np.asarray(audio[:n])
             except BaseException as e:  # noqa: BLE001 - forwarded per-request
                 for r in batch:
                     r.error = e
@@ -254,9 +276,22 @@ class BatchingSynthesizer:
             now = time.perf_counter()
             for i, r in enumerate(batch):
                 try:
-                    y = finalize_audio(audio[i], self.cfg,
-                                       trim_db=self.trim_db,
-                                       max_seconds=self.max_seconds)
+                    if self.device_pcm:
+                        # normalization already applied on device; host does
+                        # only the cheap O(L) trim/cap on the dequantized copy
+                        y = audio[i].astype(np.float32) / 32767.0
+                        if self.trim_db is not None:
+                            from spoofsv_tpu.dsp import host as dsp_host
+
+                            yt, _ = dsp_host.trim_silence(y, self.trim_db)
+                            y = yt if len(yt) else y
+                        if self.max_seconds is not None:
+                            y = y[: int(self.max_seconds
+                                        * self.cfg.sampling_rate)]
+                    else:
+                        y = finalize_audio(audio[i], self.cfg,
+                                           trim_db=self.trim_db,
+                                           max_seconds=self.max_seconds)
                     if not np.all(np.isfinite(y)):
                         raise ValueError("synthesis produced non-finite audio")
                     r.audio = y

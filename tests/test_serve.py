@@ -57,6 +57,24 @@ def _mk_batcher(cfg, syn, **kw):
     return BatchingSynthesizer(cfg, syn, **kw)
 
 
+def test_device_pcm_matches_host_finalize(serve_setup):
+    """The on-device int16 path (fetch-bandwidth optimization) equals the
+    host finalize path up to one PCM quantization step."""
+    cfg, syn = serve_setup
+    spk = np.full(cfg.spk_emb_dim, 0.2, np.float32)
+    b_host = _mk_batcher(cfg, syn, device_pcm=False)
+    b_dev = _mk_batcher(cfg, syn, device_pcm=True)
+    try:
+        y_host = b_host.synthesize("pcm parity", spk, timeout=120)
+        y_dev = b_dev.synthesize("pcm parity", spk, timeout=120)
+        assert b_dev.device_pcm and not b_host.device_pcm
+        assert len(y_host) == len(y_dev)
+        np.testing.assert_allclose(y_dev, y_host, atol=1.01 / 32767.0)
+    finally:
+        b_host.close()
+        b_dev.close()
+
+
 class TestBatchingSynthesizer:
     def test_solo_request_roundtrip(self, serve_setup):
         cfg, syn = serve_setup
@@ -79,13 +97,15 @@ class TestBatchingSynthesizer:
         spk = np.zeros(cfg.spk_emb_dim, np.float32)
         spk2 = np.ones(cfg.spk_emb_dim, np.float32) * 0.3
 
-        b = _mk_batcher(cfg, syn, batch_wait_ms=0.0)
+        # device_pcm off: compare exact float paths (int16 rounding could
+        # flip an LSB on cross-program XLA tiling noise)
+        b = _mk_batcher(cfg, syn, batch_wait_ms=0.0, device_pcm=False)
         try:
             solo = b.synthesize("batch invariance", spk, timeout=120)
         finally:
             b.close()
 
-        b = _mk_batcher(cfg, syn, batch_wait_ms=400.0)
+        b = _mk_batcher(cfg, syn, batch_wait_ms=400.0, device_pcm=False)
         try:
             results = {}
 
