@@ -30,6 +30,16 @@ def main(argv=None) -> None:
                     help="cap output duration (reference caps spoof utts at 9 s)")
     ps.add_argument("--no_warmup", action="store_true",
                     help="skip pre-compiling the bucket-ladder programs")
+    ps.add_argument("--frames_buckets", type=str, default=None,
+                    help="comma-separated rollout-length ladder (e.g. "
+                         "'120,200,325'): short texts decode a shorter fixed "
+                         "rollout, cutting their latency ~proportionally. "
+                         "Default: one full-length bucket (reference "
+                         "behavior, MAX_FRAME_NUM)")
+    ps.add_argument("--frames_per_char", type=float, default=3.0,
+                    help="frames-bucket estimator: bucket holding "
+                         "frames_per_char*len(text) (generous ~2.5x over "
+                         "measured speech rate)")
     ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
                     help="data-parallel serving over an N-device mesh")
     args = ps.parse_args(argv)
@@ -59,7 +69,10 @@ def main(argv=None) -> None:
     batcher = BatchingSynthesizer(
         cfg, syn, max_batch=args.max_batch, batch_wait_ms=args.batch_wait_ms,
         trim_db=args.trim_db if args.trim_db >= 0 else None,
-        max_seconds=args.max_seconds)
+        max_seconds=args.max_seconds,
+        frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
+        if args.frames_buckets else None,
+        frames_per_char=args.frames_per_char)
     if not args.no_warmup:
         print("[serve] warming bucket-ladder compiles "
               f"{batcher._ladder()} ...", flush=True)

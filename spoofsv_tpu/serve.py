@@ -83,6 +83,7 @@ class SpeakerTable:
 class _Pending:
     text_ids: np.ndarray           # (N,) int32, already padded to max_text_len
     spk_emb: np.ndarray            # (spk_emb_dim,) f32
+    frames: int = 0                # assigned frames bucket (0 = max)
     t_enq: float = field(default_factory=time.perf_counter)
     done: threading.Event = field(default_factory=threading.Event)
     audio: Optional[np.ndarray] = None
@@ -135,11 +136,35 @@ class BatchingSynthesizer:
                  max_batch: int = 8, batch_wait_ms: float = 10.0,
                  trim_db: Optional[float] = 30.0,
                  max_seconds: Optional[float] = None,
-                 device_pcm: Optional[bool] = None):
+                 device_pcm: Optional[bool] = None,
+                 frames_buckets: Optional[List[int]] = None,
+                 frames_per_char: float = 3.0,
+                 min_frames: int = 96):
+        """``frames_buckets``: optional ascending rollout-length ladder (each
+        entry ≤ ``cfg.max_frame_num``) — short requests then decode a shorter
+        fixed rollout instead of the full ``max_frame_num``, cutting their
+        latency roughly proportionally (decode, SSRN and Griffin-Lim all
+        scale with frames). A request's bucket is the smallest holding
+        ``frames_per_char · len(text) + min_frames-floor`` — generous by
+        ~2.5× over measured speech rate, so the trimmed tail, not truncated
+        speech, absorbs the estimate (the reference always decodes the full
+        MAX_FRAME_NUM, generate_test_utterances.py:114). None (default) = one
+        full-length bucket, reference behavior."""
         assert max_batch >= 1
         self.cfg = cfg
         self.syn = synthesizer
         self.max_batch = max_batch
+        mf = synthesizer.n_frames
+        if frames_buckets:
+            fb = sorted(set(min(int(b), mf) for b in frames_buckets))
+            if fb[-1] != mf:
+                fb.append(mf)
+        else:
+            fb = [mf]
+        self.frames_buckets = fb
+        self.frames_per_char = frames_per_char
+        self.min_frames = min_frames
+        self._syn_by_frames = {mf: synthesizer}
         self.batch_wait_s = batch_wait_ms / 1e3
         self.trim_db = trim_db
         self.max_seconds = max_seconds
@@ -182,7 +207,8 @@ class BatchingSynthesizer:
         if spk.shape[0] != self.cfg.spk_emb_dim:
             raise ValueError(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
                              f"got {spk.shape[0]}")
-        req = _Pending(text_ids=ids, spk_emb=spk)
+        req = _Pending(text_ids=ids, spk_emb=spk,
+                       frames=self._frames_bucket(int((ids > 0).sum())))
         self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("synthesis timed out")
@@ -191,16 +217,19 @@ class BatchingSynthesizer:
         return req.audio
 
     def warmup(self, buckets: Optional[List[int]] = None) -> None:
-        """Pre-compile the bucket-ladder programs (first-compile on a remote
-        TPU takes tens of seconds; do it before traffic arrives)."""
+        """Pre-compile every (batch-bucket × frames-bucket) program
+        (first-compile on a remote TPU takes tens of seconds; do it before
+        traffic arrives)."""
         import jax
 
-        for b in buckets or self._ladder():
-            text = np.zeros((b, self.cfg.max_text_len), np.int32)
-            text[:, 0] = 1
-            spk = np.zeros((b, self.cfg.spk_emb_dim), np.float32)
-            audio, _, _ = self.syn(text, spk, jax.random.PRNGKey(0))
-            np.asarray(audio[:1, :8])   # force
+        for frames in self.frames_buckets:
+            syn = self._syn_for(frames)
+            for b in buckets or self._ladder():
+                text = np.zeros((b, self.cfg.max_text_len), np.int32)
+                text[:, 0] = 1
+                spk = np.zeros((b, self.cfg.spk_emb_dim), np.float32)
+                audio, _, _ = syn(text, spk, jax.random.PRNGKey(0))
+                np.asarray(audio[:1, :8])   # force
 
     def close(self) -> None:
         self._closed = True
@@ -208,6 +237,21 @@ class BatchingSynthesizer:
         self._worker.join(timeout=30)
 
     # ------------------------------------------------------------ internals
+    def _frames_bucket(self, n_chars: int) -> int:
+        est = max(self.min_frames, int(np.ceil(self.frames_per_char * n_chars)))
+        for b in self.frames_buckets:
+            if est <= b:
+                return b
+        return self.frames_buckets[-1]
+
+    def _syn_for(self, frames: int) -> Synthesizer:
+        if frames not in self._syn_by_frames:
+            base = self.syn
+            self._syn_by_frames[frames] = Synthesizer(
+                self.cfg, base.melsyn, base.ssrn, base.melsyn_params,
+                base.ssrn_params, n_frames=frames, mesh=base.mesh)
+        return self._syn_by_frames[frames]
+
     def _ladder(self) -> List[int]:
         out, b = [], 1
         while b < self.max_batch:
@@ -244,72 +288,82 @@ class BatchingSynthesizer:
         return batch
 
     def _run(self) -> None:
+        while True:
+            collected = self._collect()
+            if collected is None:
+                return
+            # split by frames bucket (one compiled rollout length per group;
+            # single-bucket configs pass straight through)
+            groups: Dict[int, List[_Pending]] = {}
+            for r in collected:
+                groups.setdefault(r.frames or self.frames_buckets[-1],
+                                  []).append(r)
+            for frames in sorted(groups):
+                self._process(groups[frames], frames)
+
+    def _process(self, batch: List[_Pending], frames: int) -> None:
         import jax
 
-        while True:
-            batch = self._collect()
-            if batch is None:
-                return
-            n = len(batch)
-            bsz = self._bucket(n)
-            text = np.stack([r.text_ids for r in batch]
-                            + [batch[0].text_ids] * (bsz - n))
-            spk = np.stack([r.spk_emb for r in batch]
-                           + [batch[0].spk_emb] * (bsz - n))
-            self._batch_counter += 1
-            key = jax.random.PRNGKey(self._batch_counter)
-            t0 = time.perf_counter()
-            try:
-                audio, _, _ = self.syn(text, spk, key)
-                if self.device_pcm:
-                    audio = np.asarray(self._pcm(audio)[:n])   # int16 fetch
-                else:
-                    audio = np.asarray(audio[:n])
-            except BaseException as e:  # noqa: BLE001 - forwarded per-request
-                for r in batch:
-                    r.error = e
-                    r.done.set()
-                with self._stats_lock:
-                    self.stats.n_errors += n
-                continue
-            dt = time.perf_counter() - t0
-            now = time.perf_counter()
-            for i, r in enumerate(batch):
-                try:
-                    if self.device_pcm:
-                        # normalization already applied on device; host does
-                        # only the cheap O(L) trim/cap on the dequantized copy
-                        y = audio[i].astype(np.float32) / 32767.0
-                        if self.trim_db is not None:
-                            from spoofsv_tpu.dsp import host as dsp_host
-
-                            yt, _ = dsp_host.trim_silence(y, self.trim_db)
-                            y = yt if len(yt) else y
-                        if self.max_seconds is not None:
-                            y = y[: int(self.max_seconds
-                                        * self.cfg.sampling_rate)]
-                    else:
-                        y = finalize_audio(audio[i], self.cfg,
-                                           trim_db=self.trim_db,
-                                           max_seconds=self.max_seconds)
-                    if not np.all(np.isfinite(y)):
-                        raise ValueError("synthesis produced non-finite audio")
-                    r.audio = y
-                except BaseException as e:  # noqa: BLE001
-                    r.error = e
+        n = len(batch)
+        bsz = self._bucket(n)
+        text = np.stack([r.text_ids for r in batch]
+                        + [batch[0].text_ids] * (bsz - n))
+        spk = np.stack([r.spk_emb for r in batch]
+                       + [batch[0].spk_emb] * (bsz - n))
+        self._batch_counter += 1
+        key = jax.random.PRNGKey(self._batch_counter)
+        t0 = time.perf_counter()
+        try:
+            audio, _, _ = self._syn_for(frames)(text, spk, key)
+            if self.device_pcm:
+                audio = np.asarray(self._pcm(audio)[:n])   # int16 fetch
+            else:
+                audio = np.asarray(audio[:n])
+        except BaseException as e:  # noqa: BLE001 - forwarded per-request
+            for r in batch:
+                r.error = e
                 r.done.set()
             with self._stats_lock:
-                s = self.stats
-                s.n_requests += n
-                s.n_batches += 1
-                s.max_batch_seen = max(s.max_batch_seen, n)
-                s.audio_seconds += sum(
-                    len(r.audio) for r in batch if r.audio is not None
-                ) / self.cfg.sampling_rate
-                s.device_seconds += dt
-                s.latencies_ms.extend(
-                    (now - r.t_enq) * 1e3 for r in batch)
-                del s.latencies_ms[:-1000]   # bound the window
+                self.stats.n_errors += n
+            return
+        dt = time.perf_counter() - t0
+        now = time.perf_counter()
+        for i, r in enumerate(batch):
+            try:
+                if self.device_pcm:
+                    # normalization already applied on device; host does
+                    # only the cheap O(L) trim/cap on the dequantized copy
+                    y = audio[i].astype(np.float32) / 32767.0
+                    if self.trim_db is not None:
+                        from spoofsv_tpu.dsp import host as dsp_host
+
+                        yt, _ = dsp_host.trim_silence(y, self.trim_db)
+                        y = yt if len(yt) else y
+                    if self.max_seconds is not None:
+                        y = y[: int(self.max_seconds
+                                    * self.cfg.sampling_rate)]
+                else:
+                    y = finalize_audio(audio[i], self.cfg,
+                                       trim_db=self.trim_db,
+                                       max_seconds=self.max_seconds)
+                if not np.all(np.isfinite(y)):
+                    raise ValueError("synthesis produced non-finite audio")
+                r.audio = y
+            except BaseException as e:  # noqa: BLE001
+                r.error = e
+            r.done.set()
+        with self._stats_lock:
+            s = self.stats
+            s.n_requests += n
+            s.n_batches += 1
+            s.max_batch_seen = max(s.max_batch_seen, n)
+            s.audio_seconds += sum(
+                len(r.audio) for r in batch if r.audio is not None
+            ) / self.cfg.sampling_rate
+            s.device_seconds += dt
+            s.latencies_ms.extend(
+                (now - r.t_enq) * 1e3 for r in batch)
+            del s.latencies_ms[:-1000]   # bound the window
 
     def stats_dict(self) -> dict:
         with self._stats_lock:

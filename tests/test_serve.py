@@ -221,3 +221,45 @@ def test_wav_bytes_roundtrip():
     sr, decoded = wavfile.read(io.BytesIO(wav_bytes(y, 22050)))
     assert sr == 22050
     np.testing.assert_allclose(decoded / 32767.0, y, atol=1e-4)
+
+
+class TestFramesBuckets:
+    def test_bucket_estimator(self, serve_setup):
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2)
+        try:
+            assert b.frames_buckets == [4, 8]
+            assert b._frames_bucket(3) == 4    # est 2
+            assert b._frames_bucket(9) == 8    # est 5
+            assert b._frames_bucket(100) == 8  # clamps to max
+        finally:
+            b.close()
+
+    def test_mixed_length_requests(self, serve_setup):
+        """Short and long texts co-queued run in separate frames groups and
+        produce audio of the matching rollout length."""
+        cfg, syn = serve_setup
+        hop = cfg.stft.hop_length
+        b = _mk_batcher(cfg, syn, frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2, batch_wait_ms=300.0)
+        try:
+            results = {}
+
+            def fire(name, text):
+                results[name] = b.synthesize(
+                    text, np.zeros(cfg.spk_emb_dim, np.float32), timeout=180)
+
+            ts = [threading.Thread(target=fire, args=("short", "ab")),
+                  threading.Thread(target=fire, args=("long", "a" * 14))]
+            for t in ts:
+                t.start()
+                time.sleep(0.02)
+            for t in ts:
+                t.join()
+            assert len(results["short"]) == hop * (4 * 4 - 1)
+            assert len(results["long"]) == hop * (4 * 8 - 1)
+            st = b.stats_dict()
+            assert st["n_batches"] == 2 and st["n_requests"] == 2
+        finally:
+            b.close()
