@@ -55,6 +55,8 @@ def main():
     ps.add_argument("--batch_wait_ms", type=float, default=20.0)
     ps.add_argument("--http", action="store_true",
                     help="drive through the HTTP layer instead of in-process")
+    ps.add_argument("--frames_buckets", type=str, default=None,
+                    help="comma-separated rollout ladder (e.g. '128,200,325')")
     args = ps.parse_args()
 
     cfg = Config()
@@ -76,9 +78,11 @@ def main():
     p2 = jax.jit(ssrn.init)(key, mel_ex)
     syn = Synthesizer(cfg, melsyn, ssrn, p1, p2)
 
-    batcher = BatchingSynthesizer(cfg, syn, max_batch=args.max_batch,
-                                  batch_wait_ms=args.batch_wait_ms,
-                                  trim_db=None)
+    batcher = BatchingSynthesizer(
+        cfg, syn, max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms, trim_db=None,
+        frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
+        if args.frames_buckets else None)
     print(f"[bench_serve] warming ladder {batcher._ladder()} "
           f"(first compiles are slow)...", flush=True)
     t0 = time.perf_counter()
