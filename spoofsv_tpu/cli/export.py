@@ -31,7 +31,12 @@ def main(argv=None) -> None:
     from spoofsv_tpu.utils import torch_export
     from spoofsv_tpu.utils.checkpoints import load_generator_params
 
-    cfg = load_config(args.configuration)
+    # critic/ge2e exports don't need model dims; -C is required only for
+    # the generator kinds (their flax modules must be rebuilt to re-load
+    # orbax checkpoints)
+    cfg = load_config(args.configuration) if args.configuration else None
+    if args.kind in ("text2mel", "ssrn") and cfg is None:
+        ps.error("--kind text2mel/ssrn requires -C <config.json>")
 
     if args.kind == "ge2e":
         # GE2E checkpoints are bare param trees (ge2e_harness save format)
@@ -43,17 +48,35 @@ def main(argv=None) -> None:
             params = ckptr.restore(os.path.abspath(args.ckpt))
         sd = torch_export.export_ge2e_embedder(params)
         key = None
+    elif args.kind == "critic":
+        # critics live in AdvTrainState.disc_params (adversarial Trainer
+        # checkpoints) or under 'disc_state_dict' in reference .tar.pth —
+        # load_generator_params handles neither.
+        if args.ckpt.endswith((".pth", ".pt", ".tar")):
+            from spoofsv_tpu.utils.torch_import import import_critic
+
+            params = import_critic(args.ckpt)
+        else:
+            import os
+
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(os.path.abspath(args.ckpt))
+            if isinstance(restored, dict) and "disc_params" in restored:
+                params = restored["disc_params"]
+            else:
+                params = restored
+        sd = torch_export.export_critic(params)
+        key = "disc_state_dict"
     else:
-        melsyn, ssrn, mel_disc, _ = build_models(cfg, args.pattern)
-        model = {"text2mel": melsyn, "ssrn": ssrn, "critic": mel_disc}[args.kind]
-        params = load_generator_params(args.ckpt, model, cfg,
-                                       kind="ssrn" if args.kind == "ssrn"
-                                       else "text2mel")
+        melsyn, ssrn, _, _ = build_models(cfg, args.pattern)
+        model = {"text2mel": melsyn, "ssrn": ssrn}[args.kind]
+        params = load_generator_params(args.ckpt, model, cfg, kind=args.kind)
         export = {"text2mel": torch_export.export_melsyn,
-                  "ssrn": torch_export.export_ssrn,
-                  "critic": torch_export.export_critic}[args.kind]
+                  "ssrn": torch_export.export_ssrn}[args.kind]
         sd = export(params)
-        key = "disc_state_dict" if args.kind == "critic" else "model_state_dict"
+        key = "model_state_dict"
 
     if key is None:
         # reference GE2E checkpoints are bare state_dicts

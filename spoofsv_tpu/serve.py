@@ -47,6 +47,10 @@ from spoofsv_tpu.data.text import encode_texts
 from spoofsv_tpu.infer.synthesize import Synthesizer, finalize_audio
 
 
+class BadRequest(ValueError):
+    """Client-input error (wrong types/dims/lengths) — HTTP 400, never 500."""
+
+
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode a float waveform as 16-bit PCM RIFF/WAV bytes (in memory)."""
     from scipy.io import wavfile
@@ -201,11 +205,25 @@ class BatchingSynthesizer:
         """Encode + enqueue one utterance; block until its audio is ready."""
         if self._closed:
             raise RuntimeError("server is shut down")
+        if not isinstance(text, str):
+            raise BadRequest(f"text must be a string, got {type(text).__name__}")
+        # encode unbounded first: silently truncating (and dropping the EOS
+        # the decoder's attention terminates on) would return 200 with audio
+        # of only a prefix — reject over-long requests explicitly instead
+        raw = encode_texts([text], self.cfg.vocabulary)[0]
+        if len(raw) > self.cfg.max_text_len:
+            raise BadRequest(
+                f"text encodes to {len(raw)} ids; the compiled limit is "
+                f"MAX_TEXT_LEN={self.cfg.max_text_len} (reference "
+                f"config.json MAX_TEXT_LEN)")
         ids = encode_texts([text], self.cfg.vocabulary,
                            max_len=self.cfg.max_text_len)[0]
-        spk = np.asarray(spk_emb, np.float32).reshape(-1)
+        try:
+            spk = np.asarray(spk_emb, np.float32).reshape(-1)
+        except (TypeError, ValueError) as e:
+            raise BadRequest(f"spk_emb is not a float vector: {e}") from e
         if spk.shape[0] != self.cfg.spk_emb_dim:
-            raise ValueError(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
+            raise BadRequest(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
                              f"got {spk.shape[0]}")
         req = _Pending(text_ids=ids, spk_emb=spk,
                        frames=self._frames_bucket(int((ids > 0).sum())))
@@ -229,7 +247,10 @@ class BatchingSynthesizer:
                 text[:, 0] = 1
                 spk = np.zeros((b, self.cfg.spk_emb_dim), np.float32)
                 audio, _, _ = syn(text, spk, jax.random.PRNGKey(0))
-                np.asarray(audio[:1, :8])   # force
+                if self.device_pcm:   # warm the PCM epilogue jit too
+                    np.asarray(self._pcm(audio)[:1, :8])
+                else:
+                    np.asarray(audio[:1, :8])   # force
 
     def close(self) -> None:
         self._closed = True
@@ -253,11 +274,18 @@ class BatchingSynthesizer:
         return self._syn_by_frames[frames]
 
     def _ladder(self) -> List[int]:
-        out, b = [], 1
-        while b < self.max_batch:
+        # under a mesh, every compiled batch must divide the data axis
+        # (Synthesizer shards the batch with NamedSharding/shard_map), so the
+        # ladder's base rung is the shard count and every rung is a multiple
+        base = 1
+        if self.syn.mesh is not None:
+            base = int(np.prod(self.syn.mesh.devices.shape))
+        out, b = [], base
+        top = max(self.max_batch, base)
+        while b < top:
             out.append(b)
             b *= 2
-        out.append(self.max_batch)
+        out.append(-(-top // base) * base)
         return out
 
     def _bucket(self, n: int) -> int:
@@ -333,15 +361,10 @@ class BatchingSynthesizer:
                 if self.device_pcm:
                     # normalization already applied on device; host does
                     # only the cheap O(L) trim/cap on the dequantized copy
-                    y = audio[i].astype(np.float32) / 32767.0
-                    if self.trim_db is not None:
-                        from spoofsv_tpu.dsp import host as dsp_host
-
-                        yt, _ = dsp_host.trim_silence(y, self.trim_db)
-                        y = yt if len(yt) else y
-                    if self.max_seconds is not None:
-                        y = y[: int(self.max_seconds
-                                    * self.cfg.sampling_rate)]
+                    y = finalize_audio(audio[i].astype(np.float32) / 32767.0,
+                                       self.cfg, trim_db=self.trim_db,
+                                       max_seconds=self.max_seconds,
+                                       pre_normalized=True)
                 else:
                     y = finalize_audio(audio[i], self.cfg,
                                        trim_db=self.trim_db,
@@ -421,6 +444,9 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                 return
             try:
                 audio = batcher.synthesize(text, spk, timeout=request_timeout)
+            except BadRequest as e:
+                self._json(400, {"error": str(e)})
+                return
             except BaseException as e:  # noqa: BLE001 - report, don't crash
                 self._json(500, {"error": str(e)})
                 return

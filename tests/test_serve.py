@@ -101,7 +101,7 @@ class TestBatchingSynthesizer:
         # flip an LSB on cross-program XLA tiling noise)
         b = _mk_batcher(cfg, syn, batch_wait_ms=0.0, device_pcm=False)
         try:
-            solo = b.synthesize("batch invariance", spk, timeout=120)
+            solo = b.synthesize("invariance", spk, timeout=120)
         finally:
             b.close()
 
@@ -113,9 +113,9 @@ class TestBatchingSynthesizer:
                 results[name] = b.synthesize(text, s, timeout=120)
 
             threads = [
-                threading.Thread(target=fire, args=("a", "batch invariance", spk)),
-                threading.Thread(target=fire, args=("b", "another sentence", spk2)),
-                threading.Thread(target=fire, args=("c", "third one here", spk2)),
+                threading.Thread(target=fire, args=("a", "invariance", spk)),
+                threading.Thread(target=fire, args=("b", "another one", spk2)),
+                threading.Thread(target=fire, args=("c", "third here", spk2)),
             ]
             for t in threads:
                 t.start()
@@ -261,5 +261,83 @@ class TestFramesBuckets:
             assert len(results["long"]) == hop * (4 * 8 - 1)
             st = b.stats_dict()
             assert st["n_batches"] == 2 and st["n_requests"] == 2
+        finally:
+            b.close()
+
+
+class TestRequestValidation:
+    def test_bad_inputs_are_bad_requests(self, serve_setup):
+        from spoofsv_tpu.serve import BadRequest
+
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn)
+        try:
+            with pytest.raises(BadRequest, match="string"):
+                b.synthesize(42, np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=30)
+            with pytest.raises(BadRequest, match="MAX_TEXT_LEN"):
+                b.synthesize("x" * (cfg.max_text_len + 5),
+                             np.zeros(cfg.spk_emb_dim, np.float32), timeout=30)
+            with pytest.raises(BadRequest, match="float vector"):
+                b.synthesize("ok", {"not": "a vector"}, timeout=30)
+        finally:
+            b.close()
+
+    def test_http_client_errors_are_400(self, serve_setup, tmp_path_factory):
+        cfg, syn = serve_setup
+        batcher = _mk_batcher(cfg, syn)
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            for payload, frag in (
+                    ({"text": "x", "spk_emb": [0.1, 0.2]}, "dim"),
+                    ({"text": "y" * (cfg.max_text_len + 5),
+                      "spk_emb": [0.0] * cfg.spk_emb_dim}, "MAX_TEXT_LEN")):
+                req = urllib.request.Request(
+                    url + "/synthesize", data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                with pytest.raises(urllib.error.HTTPError) as e:
+                    urllib.request.urlopen(req, timeout=60)
+                assert e.value.code == 400
+                assert frag in json.loads(e.value.read())["error"]
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
+
+class TestMeshServing:
+    def test_ladder_and_requests_under_mesh(self, serve_setup):
+        """Every compiled batch size must divide the mesh data axis; solo
+        requests pad up to the shard count."""
+        from spoofsv_tpu.parallel.mesh import make_mesh
+
+        cfg, _ = serve_setup
+        melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                        spk_emb_dim=cfg.spk_emb_dim,
+                        text_emb_dim=cfg.text_emb_dim,
+                        freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                        dtype=jnp.float32)
+        ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                    ssrn_dim=cfg.ssrn_dim, dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1,
+                                        (2, cfg.max_text_len)), jnp.int32)
+        spk = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)), jnp.float32)
+        mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (2, 4, cfg.mel.freq_bins)),
+                             jnp.float32)
+        key = jax.random.PRNGKey(0)
+        p1 = melsyn.init(key, shift_right(mel_ex), text, spk)
+        p2 = ssrn.init(key, mel_ex)
+        syn = Synthesizer(cfg, melsyn, ssrn, p1, p2,
+                          n_frames=cfg.max_frame_num, gl_iters=3,
+                          mesh=make_mesh(4))
+        b = _mk_batcher(cfg, syn, max_batch=6)
+        try:
+            assert b._ladder() == [4, 8]
+            assert all(r % 4 == 0 for r in b._ladder())
+            audio = b.synthesize("mesh solo", np.zeros(cfg.spk_emb_dim,
+                                                       np.float32), timeout=180)
+            assert len(audio) > 0 and np.isfinite(audio).all()
         finally:
             b.close()

@@ -82,3 +82,45 @@ class TestCheckpointFile:
         y1 = s.apply(back, mel)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    atol=1e-6, rtol=1e-6)
+
+
+class TestExportCLI:
+    def test_critic_from_adversarial_trainer_checkpoint(self, rng, tmp_path):
+        """spoofsv-export --kind critic must read AdvTrainState.disc_params
+        (regression: it used to route through load_generator_params and
+        KeyError on the generator tree)."""
+        import orbax.checkpoint as ocp
+
+        from spoofsv_tpu.cli import export as export_cli
+
+        c = Critic1D(disc_dim=16)
+        x = jnp.asarray(rng.normal(size=(2, 16, 80)), jnp.float32)
+        params = c.init(jax.random.PRNGKey(0), x)
+        ckpt_dir = os.path.join(tmp_path, "text2mel_iteration_5")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(ckpt_dir, {"disc_params": params,
+                                  "gen_params": {"params": {}},
+                                  "step": np.int32(5)})
+        out = os.path.join(tmp_path, "critic.tar.pth")
+        export_cli.main(["--ckpt", ckpt_dir, "--kind", "critic", "--out", out])
+
+        import torch
+
+        saved = torch.load(out, map_location="cpu", weights_only=False)
+        assert "disc_state_dict" in saved
+        back = torch_import.import_critic(out)
+        _assert_tree_equal(jax.tree.map(np.asarray, dict(params)), back)
+
+    def test_critic_tar_pth_roundtrip(self, rng, tmp_path):
+        from spoofsv_tpu.cli import export as export_cli
+
+        c = Critic1D(disc_dim=16)
+        x = jnp.asarray(rng.normal(size=(2, 16, 80)), jnp.float32)
+        params = c.init(jax.random.PRNGKey(0), x)
+        src = os.path.join(tmp_path, "ref_critic.tar.pth")
+        torch_export.save_reference_checkpoint(
+            src, torch_export.export_critic(params), key="disc_state_dict")
+        out = os.path.join(tmp_path, "again.tar.pth")
+        export_cli.main(["--ckpt", src, "--kind", "critic", "--out", out])
+        back = torch_import.import_critic(out)
+        _assert_tree_equal(jax.tree.map(np.asarray, dict(params)), back)
