@@ -341,3 +341,41 @@ class TestMeshServing:
             assert len(audio) > 0 and np.isfinite(audio).all()
         finally:
             b.close()
+
+    def test_frames_buckets_under_mesh(self, serve_setup):
+        """Lazy per-frames Synthesizers re-wrap already-replicated params —
+        must be a no-op, and short/long requests both succeed sharded."""
+        from spoofsv_tpu.parallel.mesh import make_mesh
+
+        cfg, _ = serve_setup
+        melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                        spk_emb_dim=cfg.spk_emb_dim,
+                        text_emb_dim=cfg.text_emb_dim,
+                        freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                        dtype=jnp.float32)
+        ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                    ssrn_dim=cfg.ssrn_dim, dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        text = jnp.asarray(rng.integers(1, cfg.vocab_len - 1,
+                                        (2, cfg.max_text_len)), jnp.int32)
+        spk = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)), jnp.float32)
+        mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (2, 4, cfg.mel.freq_bins)),
+                             jnp.float32)
+        key = jax.random.PRNGKey(0)
+        p1 = melsyn.init(key, shift_right(mel_ex), text, spk)
+        p2 = ssrn.init(key, mel_ex)
+        syn = Synthesizer(cfg, melsyn, ssrn, p1, p2,
+                          n_frames=cfg.max_frame_num, gl_iters=3,
+                          mesh=make_mesh(4))
+        b = _mk_batcher(cfg, syn, frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2)
+        try:
+            hop = cfg.stft.hop_length
+            short = b.synthesize("ab", np.zeros(cfg.spk_emb_dim, np.float32),
+                                 timeout=180)
+            long = b.synthesize("a" * 14, np.zeros(cfg.spk_emb_dim,
+                                                   np.float32), timeout=180)
+            assert len(short) == hop * (4 * 4 - 1)
+            assert len(long) == hop * (4 * 8 - 1)
+        finally:
+            b.close()
