@@ -91,16 +91,25 @@ class TestTwoProcessTraining:
         devices each, gloo collectives) vs 1 process (8 devices), same global
         batches. Ranks must agree exactly; multi- vs single-process only up to
         all-reduce summation order."""
-        port = _free_port()
-        p0 = _run_worker(0, 2, port, str(tmp_path / "p0.npz"),
-                         str(tmp_path), wait=False)
-        try:
-            _run_worker(1, 2, port, str(tmp_path / "p1.npz"), str(tmp_path))
-            rc0 = p0.wait(timeout=120)
-            assert rc0 == 0, f"rank 0:\n{_log_tail(p0._spoofsv_log)}"
-        finally:
-            if p0.poll() is None:
-                p0.kill()
+        # the coordinator port can be raced away between _free_port() and the
+        # worker's bind, and a loaded machine can blow the join timeout —
+        # retry the whole two-process phase once with a fresh port
+        for attempt in range(2):
+            port = _free_port()
+            p0 = _run_worker(0, 2, port, str(tmp_path / "p0.npz"),
+                             str(tmp_path), wait=False)
+            try:
+                _run_worker(1, 2, port, str(tmp_path / "p1.npz"),
+                            str(tmp_path))
+                rc0 = p0.wait(timeout=300)
+                assert rc0 == 0, f"rank 0:\n{_log_tail(p0._spoofsv_log)}"
+                break
+            except Exception:  # noqa: BLE001 - rendezvous flake, retried once
+                if attempt == 1:
+                    raise
+            finally:
+                if p0.poll() is None:
+                    p0.kill()
         _run_worker(0, 1, 0, str(tmp_path / "single.npz"), str(tmp_path))
 
         s = np.load(tmp_path / "single.npz")
