@@ -96,6 +96,30 @@ class TestFullReferenceWorkflow:
         wavs = glob.glob(os.path.join(work, "samples", "e2e", "*.wav"))
         assert wavs, "synthesize produced no audio"
 
+        # ---- two-way torch interop on the REAL trained checkpoint:
+        # export to the reference .tar.pth schema, reload through the same
+        # loader the inference CLIs use, outputs must match ----
+        from spoofsv_tpu.cli import export as export_cli
+        from spoofsv_tpu.cli.main import build_models
+        from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+        exported = os.path.join(work, "ssrn_exported.tar.pth")
+        export_cli.main(["--ckpt", ssrn[-1], "--kind", "ssrn",
+                         "--out", exported, "-C", cfg_path])
+        from spoofsv_tpu.config import load_config as _lc
+        cfgx = _lc(cfg_path)
+        _, ssrn_model, _, _ = build_models(cfgx, "conditional")
+        p_orbax = load_generator_params(ssrn[-1], ssrn_model, cfgx, kind="ssrn")
+        p_torch = load_generator_params(exported, ssrn_model, cfgx, kind="ssrn")
+        import jax.numpy as jnp
+
+        mel_probe = jnp.asarray(
+            np.random.default_rng(3).uniform(0.1, 0.9, (2, 8, 80)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(ssrn_model.apply(p_orbax, mel_probe)),
+            np.asarray(ssrn_model.apply(p_torch, mel_probe)),
+            atol=1e-6, rtol=1e-6)
+
         # ---- spoof set + i-vector/GE2E/anti-spoof staging ----
         from spoofsv_tpu.cli import generate_test_utterances as gtu
         # --mesh 4: DP spoof-set synthesis with ragged-batch padding
