@@ -1,9 +1,10 @@
 """i-vector pipeline CLI — the ``kaldi_ivectors/run.sh`` equivalent.
 
-``spoofsv-ivector -C config.json -T <ctime> [--num_gauss 256 --ivec_dim 100]``
-runs feature extraction, UBM / T-matrix / PLDA training, mixed + no-spoof
-scoring, EER and spoof rate — all via the native libspoofkit backend, no
-external Kaldi install.
+``spoofsv-ivector -C config.json -T <ctime>`` runs feature extraction
+(MFCC + deltas + sliding CMVN + energy VAD), UBM / T-matrix / PLDA training
+at the reference's Kaldi scale (1024 Gaussians / 400-dim i-vectors,
+run.sh:105-129; ``--num_gauss/--ivec_dim`` scale it down), mixed + no-spoof
+scoring, EER and spoof rate — no external Kaldi install.
 
 ``--models_dir <dir>`` caches UBM/T/PLDA between invocations (the
 reference's first-run-only training, ``run.sh [0|1]``): the first run trains
@@ -26,8 +27,12 @@ def main(argv=None) -> None:
     ps.add_argument("-T", "--current_time", type=str)
     ps.add_argument("--enroll_num", type=int, default=3)
     ps.add_argument("--eval_num", type=int, default=20)
-    ps.add_argument("--num_gauss", type=int, default=256)
-    ps.add_argument("--ivec_dim", type=int, default=100)
+    ps.add_argument("--num_gauss", type=int, default=1024)
+    ps.add_argument("--ivec_dim", type=int, default=400)
+    ps.add_argument("--no_deltas", action="store_true",
+                    help="disable Kaldi add-deltas (order 2, window 3) in "
+                         "the MFCC front-end; default ON for parity with "
+                         "the sid/ scripts' 60-dim features")
     ps.add_argument("--max_train_utts_per_spk", type=int, default=40)
     ps.add_argument("--workers", type=int, default=8)
     ps.add_argument("--diag_ubm", action="store_true",
@@ -77,7 +82,8 @@ def main(argv=None) -> None:
                          args.max_train_utts_per_spk, workers=args.workers,
                          use_full_ubm=not args.diag_ubm,
                          full_ubm_iters=args.full_ubm_iters,
-                         models_dir=args.models_dir, backend=args.backend)
+                         models_dir=args.models_dir, backend=args.backend,
+                         use_deltas=not args.no_deltas)
 
 
 if __name__ == "__main__":

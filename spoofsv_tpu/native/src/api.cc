@@ -50,6 +50,16 @@ void sk_energy_vad(const double* log_e, int T, double threshold,
   std::memcpy(out, voiced.data(), T);
 }
 
+// out must hold T * D * (order+1) doubles.
+void sk_add_deltas(const double* feats, int T, int D, int order, int window,
+                   double* out) {
+  Mat in(T, D);
+  std::memcpy(in.data.data(), feats, (size_t)T * D * sizeof(double));
+  Mat d;
+  compute_deltas(in, order, window, &d);
+  std::memcpy(out, d.data.data(), d.data.size() * sizeof(double));
+}
+
 void sk_cmvn_sliding(double* feats, int T, int D, int window) {
   Mat m(T, D);
   std::memcpy(m.data.data(), feats, (size_t)T * D * sizeof(double));

@@ -194,6 +194,49 @@ void energy_vad(const Vec& log_energy, double threshold, double mean_scale,
   }
 }
 
+// Kaldi add-deltas (feat/feature-functions.cc DeltaFeatures): order-o deltas
+// via repeated linear regression over a ±window context, edge frames clamped.
+// The sid/ scripts the reference drives (kaldi_ivectors/run.sh:108-118 →
+// sid/train_diag_ubm.sh etc.) apply this with --delta-order=2
+// --delta-window=3 before sliding CMVN, turning 20 cepstra into 60-dim
+// features. Output is (T, D*(order+1)) with [static | d | dd] blocks.
+void compute_deltas(const Mat& in, int order, int window, Mat* out) {
+  int T = in.rows, D = in.cols;
+  // Regression-coefficient pyramid: scales[0] = [1]; scales[i] is the
+  // convolution of scales[i-1] with the normalized ramp j/sum(j^2),
+  // j in [-window, window].
+  std::vector<Vec> scales(order + 1);
+  scales[0] = Vec{1.0};
+  for (int i = 1; i <= order; ++i) {
+    const Vec& prev = scales[i - 1];
+    int prev_offset = ((int)prev.size() - 1) / 2;
+    int cur_offset = prev_offset + window;
+    Vec cur(prev.size() + 2 * (size_t)window, 0.0);
+    double normalizer = 0.0;
+    for (int j = -window; j <= window; ++j) {
+      normalizer += (double)j * j;
+      for (int k = -prev_offset; k <= prev_offset; ++k)
+        cur[j + k + cur_offset] += (double)j * prev[k + prev_offset];
+    }
+    for (double& v : cur) v /= normalizer;
+    scales[i] = cur;
+  }
+  *out = Mat(T, D * (order + 1));
+  for (int t = 0; t < T; ++t) {
+    for (int i = 0; i <= order; ++i) {
+      const Vec& sc = scales[i];
+      int max_offset = ((int)sc.size() - 1) / 2;
+      double* dst = &(*out)[t][i * D];
+      for (int j = -max_offset; j <= max_offset; ++j) {
+        double s = sc[j + max_offset];
+        if (s == 0.0) continue;
+        int src = std::min(std::max(t + j, 0), T - 1);
+        for (int d = 0; d < D; ++d) dst[d] += s * in[src][d];
+      }
+    }
+  }
+}
+
 // Sliding-window cepstral mean normalization (kaldi apply-cmvn-sliding,
 // window 300, center).
 void cmvn_sliding(Mat* feats, int window) {

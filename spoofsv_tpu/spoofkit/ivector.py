@@ -59,6 +59,8 @@ def _load_lib() -> ctypes.CDLL:
                                   ctypes.POINTER(ctypes.c_uint8)]
     lib.sk_cmvn_sliding.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
                                     ctypes.c_int]
+    lib.sk_add_deltas.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, c_double_p]
     lib.sk_train_diag_ubm.restype = ctypes.c_void_p
     lib.sk_train_diag_ubm.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
@@ -144,20 +146,46 @@ def resolve_backend(backend: str = "auto") -> str:
 # Feature extraction
 # ----------------------------------------------------------------------
 
+def add_deltas(feats: np.ndarray, order: int = 2, window: int = 3
+               ) -> np.ndarray:
+    """Kaldi ``add-deltas``: append order-1..``order`` regression deltas
+    (±``window`` context, clamped edges) → (T, D*(order+1)).
+
+    The reference's sid/ scripts apply this with the Kaldi defaults
+    --delta-order=2 --delta-window=3 before CMVN/voiced-selection
+    (kaldi_ivectors/run.sh:108-118), so the system it attacks models 60-dim
+    features from 20 cepstra."""
+    feats = np.ascontiguousarray(feats, np.float64)
+    T, D = feats.shape
+    if T == 0:
+        return np.zeros((0, D * (order + 1)), np.float64)
+    lib = _load_lib()
+    out = np.zeros((T, D * (order + 1)), np.float64)
+    lib.sk_add_deltas(_dp(feats), T, D, order, window, _dp(out))
+    return out
+
+
 def mfcc_vad_features(wav_path: str, sr: int = 16000, num_mel: int = 40,
-                      num_ceps: int = 20, cmvn_window: int = 300
-                      ) -> np.ndarray:
-    """MFCC → sliding CMVN → keep voiced frames. (T_voiced, num_ceps)."""
+                      num_ceps: int = 20, cmvn_window: int = 300,
+                      use_deltas: bool = True, delta_order: int = 2,
+                      delta_window: int = 3) -> np.ndarray:
+    """MFCC → add-deltas → sliding CMVN → keep voiced frames.
+
+    Returns (T_voiced, num_ceps*(delta_order+1)) with deltas (the Kaldi sid/
+    front-end order: deltas on raw cepstra, CMVN over the full delta'd
+    vector, then voiced-frame selection on the energy VAD), or
+    (T_voiced, num_ceps) with ``use_deltas=False``."""
     lib = _load_lib()
     y, _ = dsp_host.load_wav(wav_path, sr=sr)
     # Kaldi convention: samples in int16 range — the energy-VAD thresholds
     # (vad.conf: energy-threshold 5.5) assume that scale.
     y = np.ascontiguousarray(y * 32768.0, np.float32)
     h = lib.sk_mfcc_new(sr, num_mel, num_ceps)
+    out_dim = num_ceps * (delta_order + 1 if use_deltas else 1)
     try:
         T = lib.sk_mfcc_num_frames(h, len(y))
         if T <= 0:
-            return np.zeros((0, num_ceps), np.float64)
+            return np.zeros((0, out_dim), np.float64)
         feats = np.zeros((T, num_ceps), np.float64)
         log_e = np.zeros((T,), np.float64)
         lib.sk_mfcc_compute(h, y.ctypes.data_as(c_float_p), len(y),
@@ -168,7 +196,9 @@ def mfcc_vad_features(wav_path: str, sr: int = 16000, num_mel: int = 40,
     # kaldi vad.conf defaults: energy-threshold 5.5, mean-scale 0.5
     lib.sk_energy_vad(_dp(log_e), T, 5.5, 0.5, 2, 0.6,
                       voiced.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    lib.sk_cmvn_sliding(_dp(feats), T, num_ceps, cmvn_window)
+    if use_deltas:
+        feats = add_deltas(feats, delta_order, delta_window)
+    lib.sk_cmvn_sliding(_dp(feats), T, feats.shape[1], cmvn_window)
     return feats[voiced.astype(bool)]
 
 
@@ -629,20 +659,25 @@ def load_ivector_models(models_dir: str):
 
 
 def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
-                         eval_num: int = 20, num_gauss: int = 256,
-                         ivec_dim: int = 100, max_train_utts_per_spk: int = 40,
+                         eval_num: int = 20, num_gauss: int = 1024,
+                         ivec_dim: int = 400, max_train_utts_per_spk: int = 40,
                          ubm_frames_cap: int = 200_000, seed: int = 0,
                          workers: int = 8, verbose: bool = True,
                          use_full_ubm: bool = True, full_ubm_iters: int = 3,
                          models_dir: Optional[str] = None,
-                         backend: str = "auto") -> Dict[str, float]:
+                         backend: str = "auto",
+                         use_deltas: bool = True) -> Dict[str, float]:
     """Full evaluation: train UBM/T/PLDA on the staged train speakers, score
     mixed + no-spoof trials, report EER / clean threshold / spoof rate.
 
-    Defaults are scaled down from Kaldi aishell v1 (1024 Gauss / 400-dim
-    i-vectors — run.sh:105-129) to fit a single-machine run; both are knobs.
+    Defaults match Kaldi aishell v1 as the reference drives it (1024 Gauss /
+    400-dim i-vectors — run.sh:105-129, made affordable by the batched XLA
+    backend); pass smaller values (e.g. 256/100) as the fast knob.
     ``use_full_ubm`` mirrors Kaldi's diag→full UBM upgrade (run.sh:110-118):
     stats and the T-matrix then use the full-covariance model.
+    ``use_deltas`` applies Kaldi ``add-deltas`` (order 2, window 3 — the sid/
+    scripts' defaults) before CMVN, i.e. 60-dim features from 20 cepstra;
+    it is recorded in the model meta and honored when reusing saved models.
 
     ``models_dir``: if set and it contains a complete model set from a prior
     run, UBM/T/PLDA training is skipped and the saved models are reused
@@ -676,6 +711,11 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
     if models_dir and _models_complete(models_dir):
         if verbose:
             print(f"[ivector] reusing trained models from {models_dir}")
+        with open(os.path.join(models_dir, "ivector_models_meta.json")) as f:
+            _meta = json.load(f)
+        # Scoring features must match the feature space the models were
+        # trained in, whatever this call's knob says.
+        use_deltas = bool(_meta.get("use_deltas", False))
         stats_model, extractor, plda, mean_ivec = load_ivector_models(models_dir)
     else:
         # ---- 1. features for train speakers
@@ -688,8 +728,9 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
         if verbose:
             print(f"[ivector] extracting features for {len(train_items)} train utts")
         with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-            train_feats = list(ex.map(lambda it: mfcc_vad_features(it[1]),
-                                      train_items))
+            train_feats = list(ex.map(
+                lambda it: mfcc_vad_features(it[1], use_deltas=use_deltas),
+                train_items))
 
         # ---- 2. UBM on pooled (subsampled) frames
         pool = np.concatenate([f for f in train_feats if len(f)], axis=0)
@@ -749,7 +790,8 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
             with open(os.path.join(models_dir, "ivector_models_meta.json"),
                       "w") as f:
                 json.dump({"use_full_ubm": use_full_ubm,
-                           "num_gauss": num_gauss, "ivec_dim": ivec_dim}, f)
+                           "num_gauss": num_gauss, "ivec_dim": ivec_dim,
+                           "use_deltas": use_deltas}, f)
             if verbose:
                 print(f"[ivector] models saved to {models_dir}")
 
@@ -768,7 +810,7 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
         key = _hash_of(path)
         if key in ivec_cache:
             return ivec_cache[key]
-        f = mfcc_vad_features(path)
+        f = mfcc_vad_features(path, use_deltas=use_deltas)
         if len(f) == 0:
             vec = None
         else:
@@ -797,7 +839,9 @@ def run_ivector_pipeline(cfg: Config, ctime: str, enroll_num: int = 3,
         if verbose:
             print(f"[ivector] batch-extracting {len(fresh)} unique test utts")
         with concurrent.futures.ThreadPoolExecutor(workers) as ex:
-            feats = list(ex.map(lambda kp: mfcc_vad_features(kp[1]), fresh))
+            feats = list(ex.map(
+                lambda kp: mfcc_vad_features(kp[1], use_deltas=use_deltas),
+                fresh))
         keep = [i for i, f in enumerate(feats) if len(f) > 0]
         for i, (k, _) in enumerate(fresh):
             if i not in keep:

@@ -163,7 +163,18 @@ def save_reference_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
                               extra: Mapping[str, Any] | None = None) -> None:
     """Write a reference-schema ``*.tar.pth`` (``train/ordinary.py:271-284``):
     a ``torch.save``-d dict with the state dict under ``key`` plus
-    epoch/iteration counters, loadable by the reference's resume path."""
+    epoch/iteration counters.
+
+    Loadable by the reference's inference loaders (synthesize.py:80-83) and,
+    for the default ``key``, by its ordinary-training resume branch
+    (train/ordinary.py:188-197), which additionally reads
+    ``optimizer_state_dict`` and ``loss_val_log``: we emit a fresh Adam
+    state (empty per-param state, one param group covering every tensor —
+    ``optim.Adam.load_state_dict`` accepts it and starts the moments from
+    zero, which is the honest semantics for a cross-framework export) and an
+    empty validation-loss history unless ``extra`` overrides them. For the
+    adversarial trainers' multi-net keys, pass the remaining nets/optimizers
+    via ``extra``."""
     import torch
 
     ckpt: Dict[str, Any] = {
@@ -172,6 +183,20 @@ def save_reference_checkpoint(path: str, state_dict: Dict[str, np.ndarray],
         key: {k: torch.from_numpy(np.asarray(v, np.float32).copy())
               for k, v in state_dict.items()},
     }
+    if key == "model_state_dict":
+        # config.json:38-41 Adam hyperparameters, one group per
+        # model.parameters() tensor (these models' state_dicts are all
+        # trainable parameters — no buffers).
+        ckpt["optimizer_state_dict"] = {
+            "state": {},
+            "param_groups": [{
+                "lr": 2e-4, "betas": (0.5, 0.9), "eps": 1e-6,
+                "weight_decay": 0, "amsgrad": False, "maximize": False,
+                "foreach": None, "capturable": False, "differentiable": False,
+                "fused": None, "params": list(range(len(state_dict))),
+            }],
+        }
+        ckpt["loss_val_log"] = []
     if extra:
         ckpt.update(extra)
     torch.save(ckpt, path)

@@ -31,11 +31,59 @@ class TestMfcc:
         y = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
         host.write_wav(str(tmp_path / "tone.wav"), y, sr)
         feats = ivec.mfcc_vad_features(str(tmp_path / "tone.wav"))
-        assert feats.shape[1] == 20
+        assert feats.shape[1] == 60         # 20 ceps + order-2 deltas
         assert feats.shape[0] > 50          # ~97 frames, most voiced
         assert np.isfinite(feats).all()
         # sliding CMVN on a stationary tone → near-zero means
         assert np.abs(feats.mean(axis=0)).max() < 1.5
+        statics = ivec.mfcc_vad_features(str(tmp_path / "tone.wav"),
+                                         use_deltas=False)
+        assert statics.shape[1] == 20
+
+    def test_add_deltas_golden(self, ivec):
+        """Kaldi add-deltas semantics: bit-parity with an independent numpy
+        transcription of feat/feature-functions.cc DeltaFeatures (order-2,
+        window-3 defaults of the sid/ scripts — run.sh:108-118)."""
+
+        def np_deltas(x, order, window):
+            T, D = x.shape
+            scales = [np.array([1.0])]
+            for _ in range(order):
+                prev = scales[-1]
+                po = (len(prev) - 1) // 2
+                cur = np.zeros(len(prev) + 2 * window)
+                norm = sum(j * j for j in range(-window, window + 1))
+                for j in range(-window, window + 1):
+                    for k in range(-po, po + 1):
+                        cur[j + k + po + window] += j * prev[k + po]
+                scales.append(cur / norm)
+            out = np.zeros((T, D * (order + 1)))
+            for t in range(T):
+                for i, sc in enumerate(scales):
+                    mo = (len(sc) - 1) // 2
+                    for j in range(-mo, mo + 1):
+                        if sc[j + mo] == 0.0:
+                            continue
+                        src = min(max(t + j, 0), T - 1)
+                        out[t, i * D:(i + 1) * D] += sc[j + mo] * x[src]
+            return out
+
+        rng = np.random.default_rng(7)
+        for (T, D, order, window) in [(37, 5, 2, 3), (12, 3, 2, 2),
+                                      (50, 20, 1, 3), (3, 4, 2, 3)]:
+            x = rng.normal(size=(T, D))
+            got = ivec.add_deltas(x, order=order, window=window)
+            assert got.shape == (T, D * (order + 1))
+            np.testing.assert_allclose(got, np_deltas(x, order, window),
+                                       rtol=0, atol=1e-12)
+        # a linear ramp's first delta is its slope on interior frames
+        ramp = np.arange(20, dtype=np.float64)[:, None] * 2.0
+        d = ivec.add_deltas(ramp, order=1, window=2)
+        np.testing.assert_allclose(d[4:16, 1], 2.0, atol=1e-12)
+        # degenerate single frame: statics preserved, deltas ~0
+        one = ivec.add_deltas(np.ones((1, 3)), order=2, window=3)
+        np.testing.assert_allclose(one[0, :3], 1.0)
+        np.testing.assert_allclose(one[0, 3:], 0.0, atol=1e-12)
 
     def test_vad_rejects_silence(self, ivec, tmp_path):
         from spoofsv_tpu.dsp import host
