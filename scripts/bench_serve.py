@@ -57,6 +57,14 @@ def main():
                     help="drive through the HTTP layer instead of in-process")
     ps.add_argument("--frames_buckets", type=str, default=None,
                     help="comma-separated rollout ladder (e.g. '128,200,325')")
+    ps.add_argument("--overload", action="store_true",
+                    help="oversubscribe the bounded queue ~4x and report the "
+                         "shed rate (503s) plus latency percentiles of the "
+                         "ADMITTED requests — the load-shedding guarantee, "
+                         "not peak throughput")
+    ps.add_argument("--max_queue", type=int, default=None,
+                    help="admission bound (default 16*max_batch; the "
+                         "--overload run sizes itself 4x over this)")
     args = ps.parse_args()
 
     cfg = Config()
@@ -78,9 +86,17 @@ def main():
     p2 = jax.jit(ssrn.init)(key, mel_ex)
     syn = Synthesizer(cfg, melsyn, ssrn, p1, p2)
 
+    if args.overload:
+        # size the offered load ~4x over the admission bound
+        if args.max_queue is None:
+            args.max_queue = 2 * args.max_batch
+        args.concurrency = max(args.concurrency, 4 * args.max_queue)
+        args.requests = max(args.requests, 4 * args.concurrency)
+
     batcher = BatchingSynthesizer(
         cfg, syn, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, trim_db=None,
+        max_queue=args.max_queue,
         frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
         if args.frames_buckets else None)
     print(f"[bench_serve] warming ladder {batcher._ladder()} "
@@ -107,16 +123,27 @@ def main():
                 data=json.dumps({"text": SENTENCES[i % len(SENTENCES)],
                                  "spk_emb": s.tolist()}).encode(),
                 headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(req, timeout=600) as r:
-                return (len(r.read()) - 44) // 2   # 16-bit PCM samples
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return (len(r.read()) - 44) // 2   # 16-bit PCM samples
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    return None   # shed
+                raise
         target = call
     else:
+        from spoofsv_tpu.serve import ServerOverloaded
+
         def call(i, s):
-            return len(batcher.synthesize(SENTENCES[i % len(SENTENCES)], s,
-                                          timeout=600))
+            try:
+                return len(batcher.synthesize(SENTENCES[i % len(SENTENCES)],
+                                              s, timeout=600))
+            except ServerOverloaded:
+                return None   # shed
         target = call
 
     lat = []
+    shed = [0]
     lock = threading.Lock()
     idx = iter(range(args.requests))
 
@@ -130,7 +157,10 @@ def main():
             n = target(i, spk[wid])
             dt = time.perf_counter() - t
             with lock:
-                lat.append((dt, n))
+                if n is None:
+                    shed[0] += 1
+                else:
+                    lat.append((dt, n))
 
     threads = [threading.Thread(target=worker, args=(w,))
                for w in range(args.concurrency)]
@@ -144,21 +174,34 @@ def main():
     times = sorted(d for d, _ in lat)
     audio_s = sum(n for _, n in lat) / cfg.sampling_rate
     st = batcher.stats_dict()
-    print(json.dumps({
-        "metric": "serve_realtime_factor",
-        "value": round(audio_s / wall, 1),
-        "unit": "audio_s/s",
-        "detail": {
-            "mode": "http" if args.http else "inproc",
-            "requests": args.requests, "concurrency": args.concurrency,
-            "wall_s": round(wall, 2),
-            "req_per_s": round(args.requests / wall, 2),
-            "latency_s_p50": round(times[len(times) // 2], 2),
-            "latency_s_p95": round(times[int(0.95 * len(times)) - 1], 2),
-            "mean_batch": st["mean_batch"], "n_batches": st["n_batches"],
-            "backend": jax.default_backend(),
-        },
-    }))
+    detail = {
+        "mode": "http" if args.http else "inproc",
+        "requests": args.requests, "concurrency": args.concurrency,
+        "wall_s": round(wall, 2),
+        "req_per_s": round(len(lat) / wall, 2),
+        "latency_s_p50": round(times[len(times) // 2], 2),
+        "latency_s_p95": round(times[int(0.95 * len(times)) - 1], 2),
+        "mean_batch": st["mean_batch"], "n_batches": st["n_batches"],
+        "backend": jax.default_backend(),
+    }
+    if args.overload:
+        detail.update(max_queue=args.max_queue, n_shed=shed[0],
+                      n_admitted=len(lat),
+                      shed_rate=round(shed[0] / args.requests, 3),
+                      n_rejected_stat=st["n_rejected"])
+        print(json.dumps({
+            "metric": "serve_overload_admitted_p95_s",
+            "value": detail["latency_s_p95"],
+            "unit": "s",
+            "detail": detail,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "serve_realtime_factor",
+            "value": round(audio_s / wall, 1),
+            "unit": "audio_s/s",
+            "detail": detail,
+        }))
     batcher.close()
 
 

@@ -42,6 +42,13 @@ def main(argv=None) -> None:
                          "measured speech rate)")
     ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
                     help="data-parallel serving over an N-device mesh")
+    ps.add_argument("--max_queue", type=int, default=None,
+                    help="admission bound: pending requests beyond this get "
+                         "503 + Retry-After instead of queueing (default "
+                         "16*max_batch; 0 = unbounded)")
+    ps.add_argument("--request_timeout", type=float, default=600.0,
+                    help="per-request deadline (s); timed-out requests are "
+                         "skipped by the batcher if still queued")
     args = ps.parse_args(argv)
 
     import jax
@@ -72,13 +79,16 @@ def main(argv=None) -> None:
         max_seconds=args.max_seconds,
         frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
         if args.frames_buckets else None,
-        frames_per_char=args.frames_per_char)
+        frames_per_char=args.frames_per_char,
+        max_queue=args.max_queue)
     if not args.no_warmup:
         print("[serve] warming bucket-ladder compiles "
               f"{batcher._ladder()} ...", flush=True)
         batcher.warmup()
     speakers = SpeakerTable(cfg.spk_emb_dir)
-    httpd = make_http_server(batcher, speakers, host=args.host, port=args.port)
+    httpd = make_http_server(batcher, speakers, host=args.host,
+                             port=args.port,
+                             request_timeout=args.request_timeout)
     print(f"[serve] listening on http://{args.host}:{httpd.server_address[1]} "
           f"(max_batch={args.max_batch}, wait={args.batch_wait_ms}ms, "
           f"backend={jax.default_backend()})", flush=True)

@@ -51,6 +51,19 @@ class BadRequest(ValueError):
     """Client-input error (wrong types/dims/lengths) — HTTP 400, never 500."""
 
 
+class ServerOverloaded(RuntimeError):
+    """Request queue is full — HTTP 503 + ``Retry-After``, never an OOM.
+
+    Raised by :meth:`BatchingSynthesizer.synthesize` when admission would
+    push the queue past ``max_queue``: shedding load at the door keeps
+    latency bounded for admitted requests instead of letting the backlog
+    (and every client's wait) grow without bound."""
+
+    def __init__(self, msg: str, retry_after_s: float = 1.0):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode a float waveform as 16-bit PCM RIFF/WAV bytes (in memory)."""
     from scipy.io import wavfile
@@ -92,6 +105,11 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     audio: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+    # set by the enqueuing thread when its wait times out: the worker then
+    # skips the request instead of spending device time on audio nobody
+    # will read (under sustained overload abandoned work compounds the
+    # backlog — see ServeStats.n_abandoned)
+    abandoned: bool = False
 
 
 @dataclass
@@ -99,6 +117,8 @@ class ServeStats:
     n_requests: int = 0
     n_batches: int = 0
     n_errors: int = 0
+    n_rejected: int = 0            # shed at admission (queue full → 503)
+    n_abandoned: int = 0           # client timed out before the batch ran
     max_batch_seen: int = 0
     audio_seconds: float = 0.0
     device_seconds: float = 0.0    # wall time inside device calls
@@ -114,6 +134,8 @@ class ServeStats:
             "n_requests": self.n_requests,
             "n_batches": self.n_batches,
             "n_errors": self.n_errors,
+            "n_rejected": self.n_rejected,
+            "n_abandoned": self.n_abandoned,
             "mean_batch": round(self.n_requests / self.n_batches, 2)
             if self.n_batches else None,
             "max_batch_seen": self.max_batch_seen,
@@ -143,7 +165,8 @@ class BatchingSynthesizer:
                  device_pcm: Optional[bool] = None,
                  frames_buckets: Optional[List[int]] = None,
                  frames_per_char: float = 3.0,
-                 min_frames: int = 96):
+                 min_frames: int = 96,
+                 max_queue: Optional[int] = None):
         """``frames_buckets``: optional ascending rollout-length ladder (each
         entry ≤ ``cfg.max_frame_num``) — short requests then decode a shorter
         fixed rollout instead of the full ``max_frame_num``, cutting their
@@ -153,7 +176,14 @@ class BatchingSynthesizer:
         ~2.5× over measured speech rate, so the trimmed tail, not truncated
         speech, absorbs the estimate (the reference always decodes the full
         MAX_FRAME_NUM, generate_test_utterances.py:114). None (default) = one
-        full-length bucket, reference behavior."""
+        full-length bucket, reference behavior.
+
+        ``max_queue``: admission bound — at most this many requests may be
+        queued awaiting a batch; further ``synthesize()`` calls raise
+        :class:`ServerOverloaded` (HTTP 503) instead of growing the backlog.
+        Default ``16 * max_batch`` (≈16 full batches of headroom, a few
+        seconds of work at production batch latency). Pass ``0`` for
+        unbounded (pre-round-4 behavior)."""
         assert max_batch >= 1
         self.cfg = cfg
         self.syn = synthesizer
@@ -183,15 +213,28 @@ class BatchingSynthesizer:
         self.device_pcm = (not cfg.norm.log_feature) if device_pcm is None \
             else (device_pcm and not cfg.norm.log_feature)
 
+        # Peak over the max_seconds-capped region (static slice), so the
+        # device scale equals the host path's normalize-after-trim/cap
+        # (finalize_audio): the silence trim can never remove the peak
+        # sample (it only drops sub-threshold edges), but the duration cap
+        # can cut before it. Signed max, matching the reference's
+        # synthesize.py:147 `wav / max(wav)`; the 1e-8 clamp only diverges
+        # on degenerate all-non-positive audio, where the host/reference
+        # path divides by a non-positive number (garbage either way).
+        cap = None if max_seconds is None else \
+            int(max_seconds * cfg.sampling_rate)
+
         @_jax.jit
         def _pcm(audio):
-            peak = jnp.max(audio, axis=1, keepdims=True)
+            region = audio if cap is None else audio[:, :cap]
+            peak = jnp.max(region, axis=1, keepdims=True)
             y = audio / jnp.maximum(peak, 1e-8) * 0.75
             return jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
         self._pcm = _pcm
         self.stats = ServeStats()
         self._stats_lock = threading.Lock()
+        self.max_queue = 16 * max_batch if max_queue is None else max_queue
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._batch_counter = 0
         self._closed = False
@@ -227,8 +270,18 @@ class BatchingSynthesizer:
                              f"got {spk.shape[0]}")
         req = _Pending(text_ids=ids, spk_emb=spk,
                        frames=self._frames_bucket(int((ids > 0).sum())))
+        # admission control: shed load at the door rather than queue beyond
+        # max_queue (qsize is approximate under concurrency — that slack is
+        # fine, the bound exists to keep the backlog O(max_queue), not exact)
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            with self._stats_lock:
+                self.stats.n_rejected += 1
+            raise ServerOverloaded(
+                f"request queue full ({self.max_queue} pending)",
+                retry_after_s=self._retry_after_s())
         self._q.put(req)
         if not req.done.wait(timeout):
+            req.abandoned = True   # worker will skip it if not yet batched
             raise TimeoutError("synthesis timed out")
         if req.error is not None:
             raise req.error
@@ -253,11 +306,34 @@ class BatchingSynthesizer:
                     np.asarray(audio[:1, :8])   # force
 
     def close(self) -> None:
+        """Stop the worker and fail every still-queued request.
+
+        The ``_closed`` check in ``synthesize`` is advisory (a request can
+        be enqueued concurrently with the sentinel), so after the worker
+        exits we drain the queue and complete the stragglers with an error
+        — otherwise their callers would block until their timeout."""
         self._closed = True
         self._q.put(None)
         self._worker.join(timeout=30)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.done.is_set():
+                req.error = RuntimeError("server is shut down")
+                req.done.set()
 
     # ------------------------------------------------------------ internals
+    def _retry_after_s(self) -> float:
+        """Backlog-proportional retry hint: queued batches × mean batch
+        latency (1 s floor, before any batch has completed)."""
+        s = self.stats
+        if s.n_batches == 0 or s.device_seconds <= 0:
+            return 1.0
+        per_batch = s.device_seconds / s.n_batches
+        return max(1.0, round(self._q.qsize() / self.max_batch * per_batch, 1))
+
     def _frames_bucket(self, n_chars: int) -> int:
         est = max(self.min_frames, int(np.ceil(self.frames_per_char * n_chars)))
         for b in self.frames_buckets:
@@ -320,10 +396,16 @@ class BatchingSynthesizer:
             collected = self._collect()
             if collected is None:
                 return
+            # skip requests whose client already gave up — device time spent
+            # on them is pure backlog growth under overload
+            live = [r for r in collected if not r.abandoned]
+            if len(live) < len(collected):
+                with self._stats_lock:
+                    self.stats.n_abandoned += len(collected) - len(live)
             # split by frames bucket (one compiled rollout length per group;
             # single-bucket configs pass straight through)
             groups: Dict[int, List[_Pending]] = {}
-            for r in collected:
+            for r in live:
                 groups.setdefault(r.frames or self.frames_buckets[-1],
                                   []).append(r)
             for frames in sorted(groups):
@@ -393,6 +475,13 @@ class BatchingSynthesizer:
             return self.stats.as_dict()
 
 
+#: POST body admission cap — a /synthesize request is a short text plus at
+#: most a spk_emb vector (~200 floats ≈ 4 kB as JSON); 1 MB is generous.
+#: Bounding it before the read stops a client from exhausting server memory
+#: with a huge declared Content-Length (the host flag is not loopback-only).
+MAX_BODY_BYTES = 1 << 20
+
+
 def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                      host: str = "127.0.0.1", port: int = 0,
                      request_timeout: float = 600.0) -> ThreadingHTTPServer:
@@ -433,6 +522,24 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length > MAX_BODY_BYTES:
+                # discard the body in constant memory (chunked, bounded) so
+                # the client can read the 413 instead of hitting a reset
+                # mid-write; beyond the drain bound just close.
+                remaining = min(length, 8 * MAX_BODY_BYTES)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 65536))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
+                self._json(413, {"error": f"request body {length} B exceeds "
+                                          f"the {MAX_BODY_BYTES} B limit"})
+                return
+            try:
                 req = json.loads(self.rfile.read(length) or b"{}")
                 text = req["text"]
                 if "spk_emb" in req:
@@ -446,6 +553,16 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                 audio = batcher.synthesize(text, spk, timeout=request_timeout)
             except BadRequest as e:
                 self._json(400, {"error": str(e)})
+                return
+            except ServerOverloaded as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After",
+                                 str(int(np.ceil(e.retry_after_s))))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             except BaseException as e:  # noqa: BLE001 - report, don't crash
                 self._json(500, {"error": str(e)})

@@ -19,9 +19,10 @@ import numpy as np
 import pytest
 
 from spoofsv_tpu.config import Config
-from spoofsv_tpu.infer.synthesize import Synthesizer
+from spoofsv_tpu.infer.synthesize import Synthesizer, finalize_audio
 from spoofsv_tpu.models import MelSyn, SSRN
-from spoofsv_tpu.serve import (BatchingSynthesizer, SpeakerTable,
+from spoofsv_tpu.serve import (MAX_BODY_BYTES, BatchingSynthesizer,
+                               ServerOverloaded, SpeakerTable,
                                make_http_server, wav_bytes)
 from spoofsv_tpu.train.steps import shift_right
 
@@ -212,6 +213,188 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(server + "/nothing", timeout=30)
         assert e.value.code == 404
+
+
+def _stall_process(b):
+    """Wrap ``b._process`` so batches block until the returned event is set
+    — a deterministic way to hold the worker busy while the queue fills."""
+    orig = b._process
+    release = threading.Event()
+
+    def slow(batch, frames):
+        release.wait(30)
+        orig(batch, frames)
+
+    b._process = slow
+    return release
+
+
+class TestOverload:
+    def test_queue_full_sheds_with_503_semantics(self, serve_setup):
+        """Sustained oversubscription: admissions beyond max_queue raise
+        ServerOverloaded instead of growing the backlog; admitted requests
+        still complete."""
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=1, batch_wait_ms=0.0, max_queue=2)
+        release = _stall_process(b)
+        spk = np.zeros(cfg.spk_emb_dim, np.float32)
+        outcome = {"ok": 0, "shed": 0}
+        lock = threading.Lock()
+
+        def fire():
+            try:
+                b.synthesize("load", spk, timeout=120)
+                with lock:
+                    outcome["ok"] += 1
+            except ServerOverloaded as e:
+                assert e.retry_after_s >= 1.0
+                with lock:
+                    outcome["shed"] += 1
+
+        try:
+            threads = [threading.Thread(target=fire) for _ in range(8)]
+            for t in threads:
+                t.start()
+                time.sleep(0.03)   # let the worker pull the first request
+            release.set()
+            for t in threads:
+                t.join()
+            # 1 in-flight + 2 queued admitted (±1 for pull-timing slack)
+            assert outcome["shed"] >= 3, outcome
+            assert outcome["ok"] >= 3, outcome
+            assert outcome["ok"] + outcome["shed"] == 8
+            st = b.stats_dict()
+            assert st["n_rejected"] == outcome["shed"]
+            assert st["n_requests"] == outcome["ok"]
+        finally:
+            release.set()
+            b.close()
+
+    def test_abandoned_requests_are_skipped(self, serve_setup):
+        """A request whose client timed out is not spent device time on."""
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=1, batch_wait_ms=0.0)
+        release = _stall_process(b)
+        spk = np.zeros(cfg.spk_emb_dim, np.float32)
+        try:
+            blocker = threading.Thread(
+                target=lambda: b.synthesize("blocker", spk, timeout=120))
+            blocker.start()
+            time.sleep(0.05)   # worker now stalled inside _process
+            with pytest.raises(TimeoutError):
+                b.synthesize("impatient", spk, timeout=0.05)
+            release.set()
+            blocker.join()
+            audio = b.synthesize("after", spk, timeout=120)
+            assert len(audio) > 0
+            st = b.stats_dict()
+            assert st["n_abandoned"] == 1
+            assert st["n_requests"] == 2   # blocker + after, not impatient
+        finally:
+            release.set()
+            b.close()
+
+    def test_close_drains_stragglers(self, serve_setup):
+        """A request that slips into the queue after the shutdown sentinel
+        (the racy-_closed window) is failed, not left blocking forever."""
+        from spoofsv_tpu.serve import _Pending
+
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=1, batch_wait_ms=0.0)
+        straggler = _Pending(
+            text_ids=np.zeros(cfg.max_text_len, np.int32),
+            spk_emb=np.zeros(cfg.spk_emb_dim, np.float32), frames=0)
+        b._q.put(None)        # simulate close()'s sentinel winning the race
+        b._q.put(straggler)   # enqueued concurrently with shutdown
+        b.close()
+        assert straggler.done.is_set()
+        assert isinstance(straggler.error, RuntimeError)
+        with pytest.raises(RuntimeError, match="shut down"):
+            b.synthesize("late", np.zeros(cfg.spk_emb_dim, np.float32),
+                         timeout=5)
+
+    def test_http_503_with_retry_after(self, serve_setup):
+        cfg, syn = serve_setup
+        batcher = _mk_batcher(cfg, syn, max_batch=1, batch_wait_ms=0.0,
+                              max_queue=1)
+        release = _stall_process(batcher)
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        payload = json.dumps({"text": "x",
+                              "spk_emb": [0.0] * cfg.spk_emb_dim}).encode()
+
+        codes = []
+        lock = threading.Lock()
+
+        def post():
+            req = urllib.request.Request(
+                url + "/synthesize", data=payload,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    with lock:
+                        codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                with lock:
+                    codes.append(e.code)
+                    if e.code == 503:
+                        assert int(e.headers["Retry-After"]) >= 1
+
+        try:
+            threads = [threading.Thread(target=post) for _ in range(6)]
+            for t in threads:
+                t.start()
+                time.sleep(0.03)
+            release.set()
+            for t in threads:
+                t.join()
+            assert codes.count(503) >= 2, codes
+            assert codes.count(200) >= 2, codes
+        finally:
+            release.set()
+            httpd.shutdown()
+            batcher.close()
+
+    def test_http_body_cap_413(self, serve_setup):
+        cfg, syn = serve_setup
+        batcher = _mk_batcher(cfg, syn)
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        body = json.dumps({"text": "x", "pad": "a" * (MAX_BODY_BYTES + 10)})
+        req = urllib.request.Request(
+            url + "/synthesize", data=body.encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=60)
+            assert e.value.code == 413
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
+
+def test_device_pcm_peak_past_duration_cap(serve_setup):
+    """The device PCM epilogue must normalize by the peak of the
+    max_seconds-capped region (what the host path sees after trim/cap), not
+    the full fixed rollout — crafted audio puts the global peak past the
+    cap."""
+    cfg, syn = serve_setup
+    max_s = 0.01                       # cap = 220 samples @ 22050
+    cap = int(max_s * cfg.sampling_rate)
+    b = _mk_batcher(cfg, syn, device_pcm=True, max_seconds=max_s)
+    try:
+        y = np.full((1, 500), 0.1, np.float32)
+        y[0, 10] = 0.5                 # in-cap peak
+        y[0, 400] = 0.9                # global peak, past the cap
+        pcm = np.asarray(b._pcm(jnp.asarray(y)))[0].astype(np.float32) / 32767.0
+        host = finalize_audio(y[0], cfg, trim_db=None, max_seconds=max_s)
+        assert len(host) == cap
+        np.testing.assert_allclose(pcm[:cap], host, atol=1.01 / 32767.0)
+        assert abs(pcm[:cap].max() - 0.75) < 1e-3   # scaled by in-cap peak
+    finally:
+        b.close()
 
 
 def test_wav_bytes_roundtrip():
