@@ -1,20 +1,22 @@
 #!/usr/bin/env python
-"""Quantify the VAD substitution against webrtcvad (optional dev dependency).
+"""Quantify the VAD stack against the webrtcvad wheel (optional dev dep).
 
-The framework replaces the reference's webrtcvad C extension
-(``GE2E/VAD_segments.py:17,132``) with an adaptive energy frame classifier
-under an exact transcription of the reference's ring-buffer collector
-(``spoofsv_tpu/spoofkit/vad.py``). The collector half is golden-tested
+The framework ships TWO frame classifiers under an exact transcription of
+the reference's ring-buffer collector (``spoofsv_tpu/spoofkit/vad.py``):
+the native transcription of WebRTC's fixed-point GMM detector
+(``classifier="webrtc"``, native/src/webrtc_vad.cc) and an adaptive energy
+detector (``classifier="energy"``). The collector half is golden-tested
 (tests/test_spoofkit.py::TestVadCollectorParity); this script measures the
-remaining divergence — the frame classifier — when the webrtcvad wheel is
-installed:
+classifier half:
 
-  * per-frame decision agreement (%) between webrtcvad mode-2 and the energy
-    classifier on synthetic speech-like utterances at several SNRs;
-  * voiced-sample overlap (IoU) of the final collected segments.
+  * with the webrtcvad wheel installed — per-frame agreement (%) and
+    collected-segment IoU of the NATIVE transcription vs ``Vad(2)`` (the
+    fidelity number the transcription is waiting on), plus the energy
+    detector's agreement for context;
+  * without the wheel (this image does not ship it) — native-vs-energy
+    agreement only, as an informational divergence bound, exit 0.
 
-Without webrtcvad (this image does not ship it) the script prints a skip
-notice and exits 0. Run: ``python scripts/compare_vad_webrtc.py [n_utts]``.
+Run: ``python scripts/compare_vad_webrtc.py [n_utts]``.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spoofsv_tpu.spoofkit.vad import (  # noqa: E402
-    collect_from_flags, energy_classifier)
+    collect_from_flags, energy_classifier, float_to_pcm16, webrtc_classifier)
 
 
 def synth_utterance(rng, sr=16000, seconds=3.0, snr_db=25.0):
@@ -62,37 +64,57 @@ def main():
     try:
         import webrtcvad
     except ImportError:
-        print("webrtcvad not installed — skipping comparison (the collector "
-              "half is exact; see tests/test_spoofkit.py::TestVadCollectorParity)")
-        return
+        webrtcvad = None
 
     n_utts = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sr, frame_ms = 16000, 20
     n = sr * frame_ms // 1000
-    vad = webrtcvad.Vad(2)
     rng = np.random.default_rng(0)
 
-    agree, ious = [], []
-    for snr in (35.0, 25.0, 15.0):
-        for _ in range(n_utts):
-            y = synth_utterance(rng, sr=sr, snr_db=snr)
-            n_frames = max(0, (len(y) - 1) // n)
-            pcm = np.clip(y * 32767, -32768, 32767).astype("<i2").tobytes()
-            web_flags = np.asarray([
-                vad.is_speech(pcm[2 * i * n: 2 * (i + 1) * n], sr)
-                for i in range(n_frames)], bool)
-            e_flags = energy_classifier(y, sr, frame_ms)[:n_frames]
-            agree.append(float(np.mean(web_flags == e_flags)))
-            w = segments_to_mask(collect_from_flags(web_flags, n, 10), len(y))
-            e = segments_to_mask(collect_from_flags(e_flags, n, 10), len(y))
-            union = np.logical_or(w, e).sum()
-            ious.append(float(np.logical_and(w, e).sum() / union)
-                        if union else 1.0)
-        print(f"SNR {snr:4.0f} dB: frame agreement "
-              f"{100 * np.mean(agree[-n_utts:]):5.1f}%, "
-              f"segment IoU {np.mean(ious[-n_utts:]):.3f}")
-    print(f"overall: frame agreement {100 * np.mean(agree):5.1f}%, "
-          f"segment IoU {np.mean(ious):.3f}")
+    def run(pair_name, flags_a_fn, flags_b_fn):
+        agree, ious = [], []
+        for snr in (35.0, 25.0, 15.0):
+            for _ in range(n_utts):
+                y = synth_utterance(rng, sr=sr, snr_db=snr)
+                a = flags_a_fn(y)
+                b = flags_b_fn(y)[: len(a)]
+                agree.append(float(np.mean(a == b)))
+                ma = segments_to_mask(collect_from_flags(a, n, 10), len(y))
+                mb = segments_to_mask(collect_from_flags(b, n, 10), len(y))
+                union = np.logical_or(ma, mb).sum()
+                ious.append(float(np.logical_and(ma, mb).sum() / union)
+                            if union else 1.0)
+            print(f"[{pair_name}] SNR {snr:4.0f} dB: frame agreement "
+                  f"{100 * np.mean(agree[-n_utts:]):5.1f}%, "
+                  f"segment IoU {np.mean(ious[-n_utts:]):.3f}")
+        print(f"[{pair_name}] overall: frame agreement "
+              f"{100 * np.mean(agree):5.1f}%, segment IoU {np.mean(ious):.3f}")
+
+    def native_flags(y):
+        return webrtc_classifier(y, sr, frame_ms, aggressiveness=2)
+
+    def energy_flags(y):
+        return energy_classifier(y, sr, frame_ms)
+
+    if webrtcvad is None:
+        print("webrtcvad not installed — wheel comparison pending; the "
+              "native transcription's invariants are tested in "
+              "tests/test_native.py::TestWebrtcVad. Reporting "
+              "native-vs-energy divergence for context:")
+        run("native-vs-energy", native_flags, energy_flags)
+        return
+
+    vad = webrtcvad.Vad(2)
+
+    def wheel_flags(y):
+        pcm = float_to_pcm16(y).tobytes()
+        n_frames = max(0, (len(y) - 1) // n)
+        return np.asarray([
+            vad.is_speech(pcm[2 * i * n: 2 * (i + 1) * n], sr)
+            for i in range(n_frames)], bool)
+
+    run("native-vs-wheel", native_flags, wheel_flags)
+    run("energy-vs-wheel", energy_flags, wheel_flags)
 
 
 if __name__ == "__main__":

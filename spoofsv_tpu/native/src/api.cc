@@ -9,6 +9,7 @@
 #include "ivector.cc"
 #include "plda.cc"
 #include "flac.cc"
+#include "webrtc_vad.cc"
 
 #include <cstdio>
 
@@ -430,5 +431,67 @@ void sk_flac_pcm_copy(void* h, int32_t* out) {
 }
 
 void sk_flac_pcm_free(void* h) { delete (std::vector<int32_t>*)h; }
+
+// ---------------- WebRTC VAD (fixed-point GMM transcription) ----------------
+
+// New detector at aggressiveness |mode| (0-3, webrtcvad.Vad(mode)).
+void* sk_vad_new(int mode) {
+  auto* inst = new webrtcvad::VadInst();
+  webrtcvad::InitCore(inst);
+  if (webrtcvad::SetMode(inst, mode) != 0) {
+    delete inst;
+    return nullptr;
+  }
+  return inst;
+}
+
+void sk_vad_free(void* h) { delete (webrtcvad::VadInst*)h; }
+
+// One frame decision: 1 speech, 0 non-speech, -1 invalid input. Stateful —
+// feed frames in stream order (models adapt). Valid frames: 10/20/30 ms at
+// 8 or 16 kHz (the reference feeds 20 ms @ 16 kHz, VAD_segments.py:135).
+int sk_vad_process(void* h, const int16_t* frame, int n, int sample_rate) {
+  auto* inst = (webrtcvad::VadInst*)h;
+  int vad;
+  if (sample_rate == 8000) {
+    if (n != 80 && n != 160 && n != 240) return -1;
+    vad = webrtcvad::CalcVad8khz(inst, frame, (size_t)n);
+  } else if (sample_rate == 16000) {
+    if (n != 160 && n != 320 && n != 480) return -1;
+    vad = webrtcvad::CalcVad16khz(inst, frame, (size_t)n);
+  } else {
+    return -1;
+  }
+  return vad > 0 ? 1 : 0;
+}
+
+// Batch helper: classify every complete frame of |audio| (one detector,
+// stream order), writing 0/1 flags under the reference's strict
+// offset + n < len frame rule (VAD_segments.py:57). Returns frame count.
+int sk_vad_frames(int mode, const int16_t* audio, int64_t n_samples,
+                  int frame_len, int sample_rate, uint8_t* flags_out) {
+  void* h = sk_vad_new(mode);
+  if (!h) return -1;
+  int count = 0;
+  for (int64_t off = 0; off + frame_len < n_samples; off += frame_len) {
+    int v = sk_vad_process(h, audio + off, frame_len, sample_rate);
+    if (v < 0) {
+      sk_vad_free(h);
+      return -1;
+    }
+    flags_out[count++] = (uint8_t)v;
+  }
+  sk_vad_free(h);
+  return count;
+}
+
+// Introspection for invariant tests: the six Q4 band log-energies and the
+// total-energy gate of one 8 kHz frame (fresh filterbank state).
+int sk_vad_features(const int16_t* frame8k, int n, int16_t* features_out) {
+  webrtcvad::VadInst inst;
+  webrtcvad::InitCore(&inst);
+  return webrtcvad::CalculateFeatures(&inst, frame8k, (size_t)n,
+                                      features_out);
+}
 
 }  // extern "C"

@@ -79,9 +79,15 @@ def align_embeddings(embeddings: np.ndarray) -> np.ndarray:
 
 def create_dvectors(ge2e: GE2EConfig, embedder, params,
                     pattern: Optional[str] = None, out_dir: str = ".",
-                    min_va: float = 0.05, verbose: bool = True
+                    min_va: float = 0.05, verbose: bool = True,
+                    vad_classifier=None
                     ) -> Tuple[np.ndarray, np.ndarray]:
-    """Build uis-rnn-compatible (train_sequence, train_cluster_id) arrays."""
+    """Build uis-rnn-compatible (train_sequence, train_cluster_id) arrays.
+
+    ``vad_classifier``: "energy" (default), "webrtc" (the native
+    transcription of the detector the reference uses,
+    dvector_create.py:92 -> VAD_chunk(2, ...)), or a callable.
+    """
     import jax.numpy as jnp
 
     pattern = pattern or ge2e.unprocessed_data
@@ -89,7 +95,7 @@ def create_dvectors(ge2e: GE2EConfig, embedder, params,
     sequences, cluster_ids = [], []
     for path in files:
         y, sr = dsp_host.load_wav(path, sr=ge2e.data.sr)
-        chunks, spans = vad_chunk(y, sr)
+        chunks, spans = vad_chunk(y, sr, classifier=vad_classifier)
         if sum(len(c) for c in chunks) < min_va * sr:
             continue
         segs, _ = concat_segs(spans, chunks)

@@ -61,6 +61,19 @@ def _load_lib() -> ctypes.CDLL:
                                     ctypes.c_int]
     lib.sk_add_deltas.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, c_double_p]
+    c_int16_p = ctypes.POINTER(ctypes.c_int16)
+    c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sk_vad_new.restype = ctypes.c_void_p
+    lib.sk_vad_new.argtypes = [ctypes.c_int]
+    lib.sk_vad_free.argtypes = [ctypes.c_void_p]
+    lib.sk_vad_process.restype = ctypes.c_int
+    lib.sk_vad_process.argtypes = [ctypes.c_void_p, c_int16_p, ctypes.c_int,
+                                   ctypes.c_int]
+    lib.sk_vad_frames.restype = ctypes.c_int
+    lib.sk_vad_frames.argtypes = [ctypes.c_int, c_int16_p, ctypes.c_int64,
+                                  ctypes.c_int, ctypes.c_int, c_uint8_p]
+    lib.sk_vad_features.restype = ctypes.c_int
+    lib.sk_vad_features.argtypes = [c_int16_p, ctypes.c_int, c_int16_p]
     lib.sk_train_diag_ubm.restype = ctypes.c_void_p
     lib.sk_train_diag_ubm.argtypes = [c_double_p, ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,

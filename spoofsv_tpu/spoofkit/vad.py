@@ -6,12 +6,18 @@ voiced segments. This module transcribes the *collector and chunker exactly*
 (``VAD_segments.py:47-150``: deque(maxlen) ring buffer, trigger on
 ``num_voiced > 0.9·maxlen``, ring cleared on trigger, detrigger on
 ``num_unvoiced > 0.9·maxlen``, leftover yield, 2-decimal rounded 0.4 s
-chunking with the while/else tail) and swaps only the per-frame classifier:
-an adaptive energy detector by default, or webrtcvad itself via
-``classifier=`` / ``scripts/compare_vad_webrtc.py`` when the wheel is
-available. The collector parity is golden-tested against a direct
-transcription under randomized frame decisions
-(``tests/test_spoofkit.py::TestVadCollectorParity``).
+chunking with the while/else tail). Per-frame classifiers:
+
+* ``classifier="energy"`` (default) — an adaptive energy detector;
+* ``classifier="webrtc"`` — the native transcription of WebRTC's
+  fixed-point 6-band GMM detector (``native/src/webrtc_vad.cc``), the same
+  algorithm the reference's ``webrtcvad.Vad(2)`` runs — constants
+  transcribed, wheel comparison still pending
+  (``scripts/compare_vad_webrtc.py`` when the wheel is available);
+* any callable ``(y, sr, frame_ms) -> bool[frames]``.
+
+The collector parity is golden-tested against a direct transcription under
+randomized frame decisions (``tests/test_spoofkit.py::TestVadCollectorParity``).
 """
 
 from __future__ import annotations
@@ -68,6 +74,60 @@ def energy_classifier(y: np.ndarray, sr: int, frame_ms: int = 20,
     return log_e >= thresh
 
 
+def float_to_pcm16(y: np.ndarray) -> np.ndarray:
+    """Recover the int16 samples a WAV reader would hand webrtcvad.
+
+    The reference feeds the VAD raw ``wave``-module bytes while chunking the
+    ``librosa`` float copy (``VAD_segments.py:20-36``); our pipeline holds
+    only the float. ``float32 == int16 / 32768`` is exact, so rounding
+    ``y * 32768`` reproduces the original samples bit-for-bit."""
+    return np.clip(np.round(np.asarray(y, np.float64) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def webrtc_classifier(y: np.ndarray, sr: int, frame_ms: int = 20,
+                      aggressiveness: int = 2) -> np.ndarray:
+    """Per-frame decisions from the native WebRTC VAD transcription
+    (``native/src/webrtc_vad.cc`` — the fixed-point 6-band GMM of the
+    published implementation; see that file's fidelity notes). One stateful
+    detector per utterance, frames fed in stream order, exactly how the
+    reference drives ``webrtcvad.Vad(2).is_speech`` (VAD_segments.py:93)."""
+    import ctypes
+
+    from spoofsv_tpu.spoofkit.ivector import _load_lib
+
+    if sr not in (8000, 16000):
+        raise ValueError(f"webrtc classifier supports 8/16 kHz, got {sr}")
+    n = int(sr * frame_ms / 1000)
+    n_frames = _num_frames(len(y), n)
+    if n_frames == 0:
+        return np.zeros(0, bool)
+    lib = _load_lib()
+    pcm = float_to_pcm16(y)
+    flags = np.zeros(n_frames, np.uint8)
+    count = lib.sk_vad_frames(
+        int(aggressiveness), pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(pcm), n, sr,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if count < 0:
+        raise ValueError(f"invalid VAD frame config: {frame_ms} ms @ {sr} Hz")
+    assert count == n_frames, (count, n_frames)
+    return flags.astype(bool)
+
+
+def resolve_classifier(classifier) -> Optional[Classifier]:
+    """Map the ``classifier=`` knob to a callable: None/'energy' → the
+    adaptive energy detector, 'webrtc' → the native WebRTC transcription,
+    a callable → itself."""
+    if classifier is None or classifier == "energy":
+        return None
+    if classifier == "webrtc":
+        return webrtc_classifier
+    if callable(classifier):
+        return classifier
+    raise ValueError(f"unknown VAD classifier {classifier!r}")
+
+
 def collect_from_flags(flags: np.ndarray, n: int,
                        num_padding: int) -> List[Tuple[int, int]]:
     """The webrtc demo collector on precomputed frame decisions — a direct
@@ -107,22 +167,25 @@ def collect_from_flags(flags: np.ndarray, n: int,
 
 def vad_collector(y: np.ndarray, sr: int, frame_ms: int = 20,
                   padding_ms: int = 200, aggressiveness: int = 2,
-                  classifier: Optional[Classifier] = None
+                  classifier: "Optional[Classifier | str]" = None
                   ) -> List[Tuple[int, int]]:
     """Collect voiced (start, end) sample ranges with webrtc-style 90 %
     ring-buffer hysteresis (``GE2E/VAD_segments.py:63-130``)."""
     n = int(sr * frame_ms / 1000)
-    if classifier is None:
+    fn = resolve_classifier(classifier)
+    if fn is None:
         flags = energy_classifier(y, sr, frame_ms, aggressiveness)
+    elif fn is webrtc_classifier:
+        flags = webrtc_classifier(y, sr, frame_ms, aggressiveness)
     else:
-        flags = classifier(y, sr, frame_ms)
+        flags = fn(y, sr, frame_ms)
     num_padding = int(padding_ms / frame_ms)
     return collect_from_flags(flags, n, num_padding)
 
 
 def vad_chunk(y: np.ndarray, sr: int, chunk_s: float = 0.4,
               aggressiveness: int = 2,
-              classifier: Optional[Classifier] = None
+              classifier: "Optional[Classifier | str]" = None
               ) -> Tuple[List[np.ndarray], List[Tuple[float, float]]]:
     """Voiced audio split into ≤``chunk_s`` pieces with their time spans —
     the shape `dvector_create` consumes.
