@@ -31,7 +31,16 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/spoofsv_jax_cache_cpu")
+    # Compilation cache: PER-RUN dir (under the test's tmp workdir), never a
+    # machine-global one. The r3 flake's root cause (diagnosed r4): cache
+    # keys are per-rank (the device assignment embeds rank-local device
+    # ids), so after any killed attempt rank 0 is cache-warm while rank 1
+    # compiles cold — a >30 s compile skew that blows gloo's hardcoded 30 s
+    # GetKeyValue timeout at context init, self-perpetuating across retries.
+    # A fresh shared dir per run keeps both ranks symmetric (both cold),
+    # where the skew is only scheduler noise.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(workdir, "jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import numpy as np

@@ -51,10 +51,45 @@ def _log_tail(path: str, n: int = 3000) -> str:
         return f.read()[-n:]
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
+def _ephemeral_floor() -> int:
+    """Lower bound of the kernel's auto-assign (ephemeral) port range."""
+    try:
+        with open("/proc/sys/net/ipv4/ip_local_port_range") as f:
+            return int(f.read().split()[0])
+    except (OSError, ValueError):
+        return 32768
+
+
+def _reserve_port():
+    """Root-cause fix for the rendezvous port race (r3 flake): the old
+    bind-probe-close of an EPHEMERAL-range port could be stolen by ANY
+    process's outgoing connection between probe and the coordinator's bind
+    (classic TOCTOU). Instead pick a port BELOW the ephemeral floor — the
+    kernel never auto-assigns there, so only another explicit binder could
+    collide — and exclude concurrent suite runs with a per-port flock held
+    until the rendezvous completes. Returns (port, lock_file)."""
+    import fcntl
+    import random
+
+    rng = random.Random(os.getpid() * 7919 + int.from_bytes(os.urandom(2),
+                                                            "little"))
+    floor = min(_ephemeral_floor(), 32768)
+    for _ in range(200):
+        port = rng.randrange(10000, floor)
+        lockf = open(f"/tmp/spoofsv_mh_port_{port}.lock", "w")
+        try:
+            fcntl.flock(lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            lockf.close()
+            continue
+        try:
+            with socket.socket() as s:
+                s.bind(("localhost", port))
+        except OSError:
+            lockf.close()
+            continue
+        return port, lockf
+    raise RuntimeError("no reservable coordinator port found")
 
 
 class TestMultihost:
@@ -91,11 +126,18 @@ class TestTwoProcessTraining:
         devices each, gloo collectives) vs 1 process (8 devices), same global
         batches. Ranks must agree exactly; multi- vs single-process only up to
         all-reduce summation order."""
-        # the coordinator port can be raced away between _free_port() and the
-        # worker's bind, and a loaded machine can blow the join timeout —
-        # retry the whole two-process phase once with a fresh port
+        # r3 flake root-caused (r4) as TWO independent hazards, both fixed:
+        # (1) the bind-probe-close port pick could be stolen by any ephemeral
+        #     allocation — _reserve_port uses a non-ephemeral port + flock;
+        # (2) per-rank compilation-cache keys let one rank run cache-warm
+        #     while the other compiled cold, blowing gloo's hardcoded 30 s
+        #     context-init timeout (mh_worker now uses a per-run cache dir so
+        #     ranks always compile symmetrically).
+        # The single retry remains only as insurance against a loaded machine
+        # blowing the join timeout — it LOUDLY reports when it fires so a
+        # recurrence is visible, not silently absorbed.
         for attempt in range(2):
-            port = _free_port()
+            port, port_lock = _reserve_port()
             p0 = _run_worker(0, 2, port, str(tmp_path / "p0.npz"),
                              str(tmp_path), wait=False)
             try:
@@ -104,12 +146,15 @@ class TestTwoProcessTraining:
                 rc0 = p0.wait(timeout=300)
                 assert rc0 == 0, f"rank 0:\n{_log_tail(p0._spoofsv_log)}"
                 break
-            except Exception:  # noqa: BLE001 - rendezvous flake, retried once
+            except Exception as e:  # noqa: BLE001 - load flake, retried once
+                print(f"\n[multihost] RETRY FIRED (attempt {attempt}): {e!r}",
+                      file=sys.stderr, flush=True)
                 if attempt == 1:
                     raise
             finally:
                 if p0.poll() is None:
                     p0.kill()
+                port_lock.close()
         _run_worker(0, 1, 0, str(tmp_path / "single.npz"), str(tmp_path))
 
         s = np.load(tmp_path / "single.npz")
