@@ -115,3 +115,34 @@ class TestGateImplSwitch:
                                    atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_parity_tpu_artifact():
+    """The committed on-chip parity artifact (docs/PARITY_TPU.json, written
+    by scripts/parity_tpu.py on the live chip) must exist, cover both kernel
+    families over >=3 input distributions each, and satisfy the thresholds
+    the driver asserts — so a regression that re-runs the driver (or a stale
+    hand-edit) fails here loudly."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "PARITY_TPU.json")
+    assert os.path.isfile(path), "run scripts/parity_tpu.py on the chip"
+    art = json.load(open(path))
+    assert art["backend"] == "tpu", art["backend"]
+
+    gl = art["griffin_lim"]
+    assert len(gl["distributions"]) >= 3
+    for name, r in gl["distributions"].items():
+        assert abs(r["sc_delta_bf16"]) < gl["sc_delta_threshold"], (name, r)
+        assert abs(r["sc_delta_int8"]) < gl["sc_delta_threshold"], (name, r)
+        # the fused kernels must actually have CONVERGED, not just matched
+        # a diverged XLA run
+        assert r["sc_fused_bf16"] < 0.9, (name, r)
+
+    dec = art["decode"]
+    assert len(dec["distributions"]) >= 3
+    for name, r in dec["distributions"].items():
+        assert r["mel_maxabs"] < dec["mel_threshold"], (name, r)
+        assert r["attn_maxabs"] < dec["attn_threshold"], (name, r)
