@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Fused highway-conv kernel vs XLA on the live chip (chained timing).
+
+Measures the SSRN's hot conv shapes (hc3/hc4: C=512 T=1300; hc1/hc2-style:
+C=256) with K invocations chained inside one jitted fori_loop and ONE fetch
+(the tunnel has a ~30 ms per-call floor — see docs/NEXT.md "Measurement
+correction"). Decides ``cfg.tpu.highway_conv_impl``; results recorded in
+docs/SSRN_PROFILE.json.
+
+Run alone (tunnel serializes clients): ``python scripts/bench_ssrn_conv.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts._benchlib import setup_cache  # noqa: E402
+
+setup_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from spoofsv_tpu.ops.pallas_conv import (  # noqa: E402
+    fused_highway_conv, highway_conv_reference)
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "SSRN_PROFILE.json")
+
+
+def chained_ms(fn, x, iters=20):
+    """Average per-invocation ms over `iters` chained calls, one fetch."""
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            y = fn(x * (1.0 + 1e-6 * i.astype(x.dtype)))
+            return acc + jnp.sum(y[0, ::37, ::29].astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    # two warmups: first compile specializes to host inputs; the second
+    # catches the one re-specialization (verify SKILL.md)
+    float(loop(x))
+    float(loop(x))
+    t0 = time.perf_counter()
+    acc = float(loop(x))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return dt / iters * 1e3
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
+    rng = np.random.default_rng(0)
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0]), "shapes": {}}
+    shapes = [
+        # (label, B, T, C, dil)   — hc3/hc4 are the hot pair (docs/NEXT.md)
+        ("hc3_B256", 256, 1300, 512, 1),
+        ("hc3_B768", 768, 1300, 512, 1),
+        ("hc2_dil3_B256", 256, 325, 256, 3),
+        ("ups_hc_B768", 768, 650, 256, 1),
+    ]
+    for label, B, T, C, dil in shapes:
+        x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, C, 2 * C)) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32)
+        s1, b1, s2, b2 = (jnp.asarray(rng.normal(size=(C,)) * 0.2 + 1.0,
+                                      jnp.float32) for _ in range(4))
+
+        def xla_fn(v):
+            return highway_conv_reference(v, w, b, s1, b1, s2, b2,
+                                          dilation=dil)
+
+        ms_xla = chained_ms(xla_fn, x)
+        row = {"B": B, "T": T, "C": C, "dil": dil,
+               "xla_ms": round(ms_xla, 2)}
+        for bt in (256, 512):
+            def fused_fn(v, bt=bt):
+                return fused_highway_conv(v, w, b, s1, b1, s2, b2,
+                                          dilation=dil, block_t=bt,
+                                          interpret=False)
+
+            try:
+                row[f"fused_bt{bt}_ms"] = round(chained_ms(fused_fn, x), 2)
+            except Exception as e:  # VMEM overflow etc. — record and move on
+                row[f"fused_bt{bt}_ms"] = f"error: {type(e).__name__}"
+        # roofline context: matmul FLOPs at v5e bf16 peak 197 TFLOP/s and
+        # min HBM traffic (read x + write y) at 819 GB/s
+        flops = 2 * B * T * C * 2 * C * 3
+        row["mxu_roofline_ms"] = round(flops / 197e12 * 1e3, 2)
+        row["hbm_min_ms"] = round(2 * B * T * C * 2 / 819e9 * 1e3, 2)
+        results["shapes"][label] = row
+        print(label, row, flush=True)
+
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print("[bench_ssrn_conv] wrote", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()
