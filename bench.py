@@ -74,6 +74,9 @@ def main() -> None:
         return
 
     cfg = Config()
+    from spoofsv_tpu.models.layers import set_default_gate_impl
+
+    set_default_gate_impl(cfg.tpu.highway_infer_impl)
     dtype = jnp.bfloat16
     melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
                     spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,

@@ -34,7 +34,7 @@ def main(argv=None) -> None:
     from spoofsv_tpu.utils.checkpoints import load_generator_params
 
     cfg = load_config(args.configuration)
-    apply_runtime_knobs(cfg)
+    apply_runtime_knobs(cfg, infer=True)
 
     if not args.skip_synthesis:
         melsyn, ssrn, _, _ = build_models(cfg, "conditional",

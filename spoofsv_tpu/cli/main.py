@@ -42,12 +42,25 @@ def training_dtype(cfg):
     return jnp.float32
 
 
-def apply_runtime_knobs(cfg) -> None:
+def apply_runtime_knobs(cfg, infer: bool = False) -> None:
     """Apply process-wide TPUConfig knobs that can't travel through module
-    constructors (set before any jit trace)."""
+    constructors (set before any jit trace). ``infer=True`` (the synthesize/
+    spoofgen/serve/export subcommands) selects ``tpu.highway_infer_impl``
+    instead of the training impl; the switch is read at trace time, so the
+    value in force when a subcommand first jits is the one that sticks for
+    that function."""
+    import jax
+
     from spoofsv_tpu.models.layers import set_default_gate_impl
 
-    set_default_gate_impl(cfg.tpu.highway_gate_impl)
+    impl = cfg.tpu.highway_infer_impl if infer else cfg.tpu.highway_gate_impl
+    if impl != "xla" and jax.default_backend() == "cpu":
+        # Pallas kernels only run in interpret mode on CPU — correct but far
+        # slower than XLA; the fused impls are a TPU production default, not
+        # a CPU one. (Tests exercise interpret mode by calling
+        # set_default_gate_impl directly.)
+        impl = "xla"
+    set_default_gate_impl(impl)
 
 
 def build_models(cfg, pattern: str, dtype=None):
@@ -315,7 +328,8 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = load_config(args.configuration)
-    apply_runtime_knobs(cfg)
+    apply_runtime_knobs(
+        cfg, infer=args.step not in ("train_text2mel", "train_ssrn"))
 
     if args.save_spectrogram:
         spec_dir = os.path.join(cfg.src_root_dir, "spec")

@@ -66,7 +66,7 @@ def main(argv=None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = load_config(args.configuration)
-    apply_runtime_knobs(cfg)
+    apply_runtime_knobs(cfg, infer=True)
     melsyn, ssrn, _, _ = build_models(cfg, "conditional",
                                       dtype=inference_dtype(cfg))
     m1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)

@@ -105,6 +105,19 @@ class TPUConfig:
     # ops/pallas_ops.fused_highway_gate). Applied process-wide by the CLIs
     # via models.layers.set_default_gate_impl at startup.
     highway_gate_impl: str = "xla"
+    # Same switch for the INFERENCE subcommands (synthesize / spoofgen /
+    # serve / export / bench), which re-apply it at startup. "fused_conv"
+    # fuses the whole highway block (conv + LN×2 + σ + residual) into one
+    # Pallas pass (ops/pallas_conv.py) — 11–21 % faster than XLA on every
+    # isolated SSRN block, but the FULL SSRN module is ~16 % SLOWER under
+    # it (120 vs 104 ms at B=768, reproduced twice — the pallas_call
+    # boundaries break XLA's cross-layer fusion/scheduling, the same
+    # module-level inversion the gate kernel and int8 conv hit; numbers in
+    # docs/SSRN_PROFILE.json). Default therefore stays "xla"; the knob
+    # remains for other shapes/backends. Kept separate from the training
+    # switch because the fused forward pairs with a recompute-style
+    # custom_vjp (wrong trade inside jax.grad).
+    highway_infer_impl: str = "xla"
     remat: bool = False                # jax.checkpoint over highway stacks
 
 

@@ -30,17 +30,23 @@ LN_EPS = 1e-5
 
 Array = jax.Array
 
-# Full-sequence highway-gate implementation: "xla" (plain jnp, XLA fuses) or
-# "pallas" (ops.pallas_ops.fused_highway_gate — one VMEM pass over the tile).
+# Full-sequence highway-block implementation: "xla" (plain jnp, XLA fuses),
+# "pallas" (ops.pallas_ops.fused_highway_gate — LN/σ/blend in one VMEM pass),
+# or "fused_conv" (ops.pallas_conv.fused_highway_conv — the WHOLE block
+# including the conv: the 2C-wide pre-activation never touches HBM; wins
+# 11–21 % on every isolated SSRN block but loses ~16 % at full-module scale,
+# so it is opt-in, not a default — docs/SSRN_PROFILE.json).
 # Process-wide default, resolved at trace time; set it once at startup
-# (before any jit trace) via set_default_gate_impl — e.g. from
-# cfg.tpu.highway_gate_impl in the CLIs.
+# (before any jit trace) via set_default_gate_impl — the CLIs apply
+# cfg.tpu.highway_gate_impl for training and cfg.tpu.highway_infer_impl for
+# the inference subcommands (the fused forward pairs with a recompute-style
+# custom_vjp, the right trade for inference but not for the train step).
 _DEFAULT_GATE_IMPL = "xla"
 
 
 def set_default_gate_impl(impl: str) -> None:
     global _DEFAULT_GATE_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "fused_conv"), impl
     _DEFAULT_GATE_IMPL = impl
 
 
@@ -92,11 +98,31 @@ class HighwayConv(nn.Module):
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         """Full-sequence forward; ``x``: (B, T, C)."""
+        impl = self.gate_impl or _DEFAULT_GATE_IMPL
+        if (impl == "fused_conv" and not self.is_initializing()
+                and x.ndim == 3 and self.pad <= min(256, x.shape[1])):
+            # Whole-block Pallas fusion (ops/pallas_conv.py): conv + LN1/LN2
+            # + σ gate + residual in one VMEM pass — the 2C pre-activation
+            # never reaches HBM. Falls through to the plain path for inputs
+            # too short to carry the conv's halo (pad > min(block, T)), at
+            # init (params must be created by the flax submodules), and in
+            # ``step`` (single frames don't amortize a pallas dispatch).
+            from spoofsv_tpu.ops.pallas_conv import fused_highway_conv_ad
+
+            pc = self.conv.variables["params"]
+            p1 = self.ln1.variables["params"]
+            p2 = self.ln2.variables["params"]
+            dt = self.dtype
+            out = fused_highway_conv_ad(
+                x.astype(dt), pc["kernel"].astype(dt), pc["bias"],
+                p1["scale"], p1["bias"], p2["scale"], p2["bias"],
+                self.dilation, self.causal)
+            return functional_dropout(self, out, self.dropout_rate,
+                                      deterministic)
         inp = x
         if self.causal and self.pad > 0:
             inp = jnp.pad(x, ((0, 0), (self.pad, 0), (0, 0)))
         h = self.conv(inp)
-        impl = self.gate_impl or _DEFAULT_GATE_IMPL
         if impl == "pallas" and not self.is_initializing():
             # One VMEM-resident pass for LN1/LN2/σ/blend instead of the XLA
             # elementwise chain; init still runs the plain path so the LN

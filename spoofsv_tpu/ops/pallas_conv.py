@@ -16,11 +16,18 @@ write h (2 GB) + read h + x (3 GB) + write y (1 GB) ≈ 7 GB ≈ 8.5 ms at
 roofline for the matmuls, so the kernel is compute-bound where XLA is
 traffic-bound.
 
-Measured on v5e with chained timing: see ``scripts/bench_ssrn_conv.py``
-and docs/SSRN_PROFILE.json for the numbers that decided the default of
-``cfg.tpu.highway_conv_impl`` (training keeps XLA either way: the
-custom_vjp backward re-derives the plain formulation, same trade as the
-gate kernel).
+Measured on v5e with chained timing (``scripts/bench_ssrn_conv.py``,
+docs/SSRN_PROFILE.json): every isolated block wins 11–21 % over XLA
+(hc3 B=768: 36.8→31.8 ms) — but the FULL SSRN module runs ~16 % SLOWER
+under the process-wide switch (120 vs 104 ms, reproduced twice): the
+pallas_call boundaries break XLA's cross-layer fusion/scheduling, the
+same module-level inversion the gate kernel and the int8 conv hit. So
+``cfg.tpu.highway_infer_impl`` defaults to "xla" and this kernel is an
+opt-in knob; its lasting value is diagnostic — removing essentially all
+epilogue HBM traffic leaves hc3/hc4 at ~2× the MXU roofline, which
+localizes the 42 %-MXU gap in conv matmul execution itself, not in
+fusion. (Training keeps XLA either way: the custom_vjp backward
+re-derives the plain formulation, same trade as the gate kernel.)
 
 Halo handling: each (block_t, C) tile also reads its left/right neighbor
 blocks (three BlockSpecs onto the same array with clamped index maps) and

@@ -88,3 +88,52 @@ def test_custom_vjp_grads_match():
                      jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-4, rtol=1e-4)
+
+
+def test_ssrn_fused_conv_impl_matches_xla():
+    """Process-wide fused_conv switch (what the inference CLIs apply via
+    apply_runtime_knobs(infer=True)): SSRN forward must match the plain
+    path through every highway block, including the Upsample2x ones."""
+    from spoofsv_tpu.models.layers import set_default_gate_impl
+    from spoofsv_tpu.models.ssrn import SSRN
+
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(rng.uniform(0.05, 0.95, (2, 24, 80)), jnp.float32)
+    m = SSRN(freq_bins=80, output_bins=129, ssrn_dim=64)
+    p = m.init(jax.random.PRNGKey(0), mel)
+    y_xla = m.apply(p, mel)
+    set_default_gate_impl("fused_conv")
+    try:
+        y_fused = m.apply(p, mel)
+    finally:
+        set_default_gate_impl("xla")
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_xla),
+                               atol=3e-5, rtol=1e-5)
+
+
+def test_text2mel_fused_conv_impl_matches_xla():
+    """Teacher-forced Text2Mel forward under the fused_conv switch: covers
+    the causal highway stacks (dilations 1/3/9/27) and the K=1 blocks; the
+    tiny T exercises the pad>min(block,T) fallback for dil-27 blocks."""
+    from spoofsv_tpu.models.layers import set_default_gate_impl
+    from spoofsv_tpu.models.text2mel import MelSyn
+    from spoofsv_tpu.train.steps import shift_right
+
+    rng = np.random.default_rng(5)
+    B, N, T = 2, 12, 16
+    text = jnp.asarray(rng.integers(1, 30, (B, N)), jnp.int32)
+    spk = jnp.asarray(rng.normal(size=(B, 200)), jnp.float32)
+    mel = jnp.asarray(rng.uniform(0.05, 0.95, (B, T, 80)), jnp.float32)
+    m = MelSyn(vocab_len=34, condition=True, spk_emb_dim=200,
+               text_emb_dim=32, freq_bins=80, hidden_dim=64)
+    p = m.init(jax.random.PRNGKey(0), shift_right(mel), text, spk)
+    out_xla = m.apply(p, shift_right(mel), text, spk)
+    set_default_gate_impl("fused_conv")
+    try:
+        out_fused = m.apply(p, shift_right(mel), text, spk)
+    finally:
+        set_default_gate_impl("xla")
+    for a, b in zip(jax.tree_util.tree_leaves(out_fused),
+                    jax.tree_util.tree_leaves(out_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-5)
