@@ -10,12 +10,14 @@ set -u
 LOG="$1"; shift
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SUFFIX=""
+CROOT="$REPO/_campaign"
 prev=""
 for a in "$@"; do
   [ "$prev" = "--split_suffix" ] && SUFFIX="$a"
+  [ "$prev" = "--root" ] && CROOT="$a"
   prev="$a"
 done
-MARKER="$REPO/_campaign/state/report${SUFFIX}.json"
+MARKER="$CROOT/state/report${SUFFIX}.json"
 for i in $(seq 1 24); do
   if [ -f "$MARKER" ]; then
     echo "[campaign_retry] report marker present, done" >> "$LOG"

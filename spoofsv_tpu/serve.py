@@ -64,6 +64,15 @@ class ServerOverloaded(RuntimeError):
         self.retry_after_s = retry_after_s
 
 
+class DeadlineExceeded(RuntimeError):
+    """A request's propagated deadline passed before it reached the device —
+    HTTP 504. The worker fails expired requests at batch-assembly time
+    instead of synthesizing audio the caller has already given up on (the
+    server-side twin of the client-side ``abandoned`` flag: abandoned marks
+    requests whose *in-process waiter* timed out, deadlines let *remote*
+    callers bound their wait without holding the HTTP thread hostage)."""
+
+
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode a float waveform as 16-bit PCM RIFF/WAV bytes (in memory)."""
     from scipy.io import wavfile
@@ -110,6 +119,10 @@ class _Pending:
     # will read (under sustained overload abandoned work compounds the
     # backlog — see ServeStats.n_abandoned)
     abandoned: bool = False
+    # absolute perf_counter() deadline propagated by the caller; the worker
+    # completes requests already past it with DeadlineExceeded at
+    # batch-assembly time (ServeStats.n_expired) instead of running them
+    deadline: Optional[float] = None
 
 
 @dataclass
@@ -119,6 +132,7 @@ class ServeStats:
     n_errors: int = 0
     n_rejected: int = 0            # shed at admission (queue full → 503)
     n_abandoned: int = 0           # client timed out before the batch ran
+    n_expired: int = 0             # deadline passed while queued → 504
     max_batch_seen: int = 0
     audio_seconds: float = 0.0
     device_seconds: float = 0.0    # wall time inside device calls
@@ -136,6 +150,7 @@ class ServeStats:
             "n_errors": self.n_errors,
             "n_rejected": self.n_rejected,
             "n_abandoned": self.n_abandoned,
+            "n_expired": self.n_expired,
             "mean_batch": round(self.n_requests / self.n_batches, 2)
             if self.n_batches else None,
             "max_batch_seen": self.max_batch_seen,
@@ -244,10 +259,24 @@ class BatchingSynthesizer:
 
     # ----------------------------------------------------------- public API
     def synthesize(self, text: str, spk_emb: np.ndarray,
-                   timeout: Optional[float] = None) -> np.ndarray:
-        """Encode + enqueue one utterance; block until its audio is ready."""
+                   timeout: Optional[float] = None,
+                   deadline_s: Optional[float] = None) -> np.ndarray:
+        """Encode + enqueue one utterance; block until its audio is ready.
+
+        ``timeout`` bounds THIS caller's wait (on expiry the request is
+        marked abandoned and the worker skips it). ``deadline_s`` is the
+        server-side request deadline: if it passes while the request is
+        still queued, the worker completes it with :class:`DeadlineExceeded`
+        (HTTP 504) at batch-assembly time instead of synthesizing — a batch
+        already on the device always finishes (admitted work is never
+        cancelled mid-flight). An already-expired or non-positive deadline
+        fails at the door without queue side effects."""
         if self._closed:
             raise RuntimeError("server is shut down")
+        if deadline_s is not None and deadline_s <= 0:
+            with self._stats_lock:
+                self.stats.n_expired += 1
+            raise DeadlineExceeded(f"deadline_s={deadline_s} already expired")
         if not isinstance(text, str):
             raise BadRequest(f"text must be a string, got {type(text).__name__}")
         # encode unbounded first: silently truncating (and dropping the EOS
@@ -269,7 +298,9 @@ class BatchingSynthesizer:
             raise BadRequest(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
                              f"got {spk.shape[0]}")
         req = _Pending(text_ids=ids, spk_emb=spk,
-                       frames=self._frames_bucket(int((ids > 0).sum())))
+                       frames=self._frames_bucket(int((ids > 0).sum())),
+                       deadline=(None if deadline_s is None
+                                 else time.perf_counter() + deadline_s))
         # admission control: shed load at the door rather than queue beyond
         # max_queue (qsize is approximate under concurrency — that slack is
         # fine, the bound exists to keep the backlog O(max_queue), not exact)
@@ -402,6 +433,20 @@ class BatchingSynthesizer:
             if len(live) < len(collected):
                 with self._stats_lock:
                     self.stats.n_abandoned += len(collected) - len(live)
+            # deadline propagation: requests whose deadline passed while
+            # queued fail fast (504) instead of consuming device time;
+            # anything admitted into a batch below runs to completion
+            now = time.perf_counter()
+            expired = [r for r in live if r.deadline and r.deadline < now]
+            if expired:
+                for r in expired:
+                    r.error = DeadlineExceeded(
+                        f"deadline passed {now - r.deadline:.2f}s before "
+                        "the request reached the device")
+                    r.done.set()
+                with self._stats_lock:
+                    self.stats.n_expired += len(expired)
+                live = [r for r in live if not (r.deadline and r.deadline < now)]
             # split by frames bucket (one compiled rollout length per group;
             # single-bucket configs pass straight through)
             groups: Dict[int, List[_Pending]] = {}
@@ -489,8 +534,10 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
 
     * ``POST /synthesize`` — JSON body ``{"text": "...", "speaker": "p225"}``
       or ``{"text": "...", "spk_emb": [200 floats]}``; optional
-      ``"format": "wav" | "json"`` (default wav). Returns ``audio/wav``
-      bytes, or ``{"sr": ..., "samples": [...]}``.
+      ``"format": "wav" | "json"`` (default wav) and ``"deadline_ms": N``
+      (server-side deadline — expired-while-queued requests return 504
+      without consuming device time). Returns ``audio/wav`` bytes, or
+      ``{"sr": ..., "samples": [...]}``.
     * ``GET /speakers`` — available speaker names.
     * ``GET /healthz`` — liveness + serving stats.
     """
@@ -546,13 +593,19 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                     spk = np.asarray(req["spk_emb"], np.float32)
                 else:
                     spk = speakers(req["speaker"])
+                deadline_s = (float(req["deadline_ms"]) / 1e3
+                              if "deadline_ms" in req else None)
             except Exception as e:  # noqa: BLE001 - malformed request body
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                audio = batcher.synthesize(text, spk, timeout=request_timeout)
+                audio = batcher.synthesize(text, spk, timeout=request_timeout,
+                                           deadline_s=deadline_s)
             except BadRequest as e:
                 self._json(400, {"error": str(e)})
+                return
+            except DeadlineExceeded as e:
+                self._json(504, {"error": str(e)})
                 return
             except ServerOverloaded as e:
                 body = json.dumps({"error": str(e)}).encode()

@@ -562,3 +562,83 @@ class TestMeshServing:
             assert len(long) == hop * (4 * 8 - 1)
         finally:
             b.close()
+
+
+class TestDeadlines:
+    def test_expired_at_door(self, serve_setup):
+        """Non-positive deadline fails immediately, no queue side effects."""
+        from spoofsv_tpu.serve import DeadlineExceeded
+
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn)
+        try:
+            with pytest.raises(DeadlineExceeded):
+                b.synthesize("too late", np.zeros(cfg.spk_emb_dim, np.float32),
+                             deadline_s=0)
+            assert b.stats_dict()["n_expired"] == 1
+            assert b._q.qsize() == 0
+        finally:
+            b.close()
+
+    def test_expires_while_queued(self, serve_setup):
+        """A request whose deadline passes in the queue gets 504 semantics at
+        batch-assembly time (no device work); one admitted alongside with a
+        generous deadline completes normally."""
+        from spoofsv_tpu.serve import DeadlineExceeded
+
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=1, batch_wait_ms=0.0)
+        release = _stall_process(b)
+        spk = np.zeros(cfg.spk_emb_dim, np.float32)
+        results = {}
+
+        def call(name, **kw):
+            try:
+                results[name] = b.synthesize(f"req {name}", spk,
+                                             timeout=120, **kw)
+            except BaseException as e:  # noqa: BLE001
+                results[name] = e
+
+        try:
+            # A occupies the (stalled) worker; B expires in the queue while
+            # C's deadline is generous enough to survive the stall.
+            ta = threading.Thread(target=call, args=("a",))
+            ta.start()
+            time.sleep(0.1)          # let the worker collect A and stall
+            tb = threading.Thread(target=call, args=("b",),
+                                  kwargs={"deadline_s": 0.2})
+            tc = threading.Thread(target=call, args=("c",),
+                                  kwargs={"deadline_s": 120.0})
+            tb.start()
+            tc.start()
+            time.sleep(0.5)          # B's deadline passes while queued
+            release.set()
+            for t in (ta, tb, tc):
+                t.join()
+            assert isinstance(results["b"], DeadlineExceeded), results["b"]
+            assert isinstance(results["a"], np.ndarray)
+            assert isinstance(results["c"], np.ndarray)
+            assert b.stats_dict()["n_expired"] == 1
+        finally:
+            release.set()
+            b.close()
+
+    def test_http_deadline_504(self, serve_setup):
+        cfg, syn = serve_setup
+        batcher = _mk_batcher(cfg, syn)
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        payload = json.dumps({"text": "x", "deadline_ms": 0,
+                              "spk_emb": [0.0] * cfg.spk_emb_dim}).encode()
+        try:
+            req = urllib.request.Request(
+                url + "/synthesize", data=payload,
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 504
+            assert "expired" in json.loads(ei.value.read())["error"]
+        finally:
+            httpd.shutdown()
+            batcher.close()
