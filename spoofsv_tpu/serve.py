@@ -453,7 +453,17 @@ class BatchingSynthesizer:
             for r in live:
                 groups.setdefault(r.frames or self.frames_buckets[-1],
                                   []).append(r)
-            for frames in sorted(groups):
+            # deadline-aware assembly: when one collection spans several
+            # frames groups they run sequentially, so order groups by their
+            # tightest surviving deadline (earliest-deadline-first) — a
+            # tight-deadline request admitted alongside a deadlineless long
+            # batch shouldn't burn its remaining budget waiting behind it.
+            # Deadlineless groups keep the shortest-rollout-first order.
+            def _urgency(frames: int):
+                return (min((r.deadline for r in groups[frames] if r.deadline),
+                            default=float("inf")), frames)
+
+            for frames in sorted(groups, key=_urgency):
                 self._process(groups[frames], frames)
 
     def _process(self, batch: List[_Pending], frames: int) -> None:

@@ -623,6 +623,63 @@ class TestDeadlines:
             release.set()
             b.close()
 
+    def test_deadline_orders_frames_groups(self, serve_setup):
+        """When one collection spans several frames groups, the group holding
+        the tightest surviving deadline runs first (EDF) instead of the
+        shortest rollout — and deadlineless collections keep the
+        shortest-first order."""
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=250.0,
+                        frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2)
+        order = []
+        orig = b._process
+        release = threading.Event()
+        stalled = threading.Event()
+
+        def wrapped(batch, frames):
+            if not stalled.is_set():
+                stalled.set()
+                release.wait(30)
+            else:
+                order.append(frames)
+            orig(batch, frames)
+
+        b._process = wrapped
+        spk = np.zeros(cfg.spk_emb_dim, np.float32)
+        results = {}
+
+        def call(name, text, **kw):
+            try:
+                results[name] = b.synthesize(text, spk, timeout=120, **kw)
+            except BaseException as e:  # noqa: BLE001
+                results[name] = e
+
+        try:
+            # occupy the worker, then queue a deadlineless short text
+            # (bucket 4) and a deadline'd long text (bucket 8) — EDF must
+            # run the 8-frames group first despite the longer rollout
+            t0 = threading.Thread(target=call, args=("stall", "xx"))
+            t0.start()
+            stalled.wait(30)
+            ts = [threading.Thread(target=call, args=("short", "ab")),
+                  threading.Thread(target=call, args=("long", "a" * 14),
+                                   kwargs={"deadline_s": 60.0})]
+            for t in ts:
+                t.start()
+                time.sleep(0.02)
+            time.sleep(0.2)
+            release.set()
+            t0.join()
+            for t in ts:
+                t.join()
+            assert order == [8, 4], order
+            assert all(isinstance(v, np.ndarray) for v in results.values()), \
+                results
+        finally:
+            release.set()
+            b.close()
+
     def test_http_deadline_504(self, serve_setup):
         cfg, syn = serve_setup
         batcher = _mk_batcher(cfg, syn)
