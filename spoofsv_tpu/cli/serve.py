@@ -40,6 +40,13 @@ def main(argv=None) -> None:
                     help="frames-bucket estimator: bucket holding "
                          "frames_per_char*len(text) (generous ~2.5x over "
                          "measured speech rate)")
+    ps.add_argument("--speculative", action="store_true",
+                    help="retry sub-maximal-bucket requests whose decode "
+                         "didn't consume the text (monotonic-attention "
+                         "completion check) one bucket up instead of "
+                         "truncating — lets --frames_per_char sit near the "
+                         "true speech rate (~1.2) for ~2x shorter typical "
+                         "rollouts")
     ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
                     help="data-parallel serving over an N-device mesh")
     ps.add_argument("--max_queue", type=int, default=None,
@@ -80,7 +87,7 @@ def main(argv=None) -> None:
         frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
         if args.frames_buckets else None,
         frames_per_char=args.frames_per_char,
-        max_queue=args.max_queue)
+        max_queue=args.max_queue, speculative=args.speculative)
     if not args.no_warmup:
         print("[serve] warming bucket-ladder compiles "
               f"{batcher._ladder()} ...", flush=True)

@@ -123,6 +123,9 @@ class _Pending:
     # completes requests already past it with DeadlineExceeded at
     # batch-assembly time (ServeStats.n_expired) instead of running them
     deadline: Optional[float] = None
+    # number of non-pad text ids — the speculative path compares the
+    # decode's final attended position against this to detect truncation
+    n_valid: int = 0
 
 
 @dataclass
@@ -133,6 +136,7 @@ class ServeStats:
     n_rejected: int = 0            # shed at admission (queue full → 503)
     n_abandoned: int = 0           # client timed out before the batch ran
     n_expired: int = 0             # deadline passed while queued → 504
+    n_escalated: int = 0           # speculative rollout too short, retried
     max_batch_seen: int = 0
     audio_seconds: float = 0.0
     device_seconds: float = 0.0    # wall time inside device calls
@@ -151,6 +155,7 @@ class ServeStats:
             "n_rejected": self.n_rejected,
             "n_abandoned": self.n_abandoned,
             "n_expired": self.n_expired,
+            "n_escalated": self.n_escalated,
             "mean_batch": round(self.n_requests / self.n_batches, 2)
             if self.n_batches else None,
             "max_batch_seen": self.max_batch_seen,
@@ -181,7 +186,9 @@ class BatchingSynthesizer:
                  frames_buckets: Optional[List[int]] = None,
                  frames_per_char: float = 3.0,
                  min_frames: int = 96,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 speculative: bool = False,
+                 spec_margin: int = 1):
         """``frames_buckets``: optional ascending rollout-length ladder (each
         entry ≤ ``cfg.max_frame_num``) — short requests then decode a shorter
         fixed rollout instead of the full ``max_frame_num``, cutting their
@@ -198,7 +205,20 @@ class BatchingSynthesizer:
         :class:`ServerOverloaded` (HTTP 503) instead of growing the backlog.
         Default ``16 * max_batch`` (≈16 full batches of headroom, a few
         seconds of work at production batch latency). Pass ``0`` for
-        unbounded (pre-round-4 behavior)."""
+        unbounded (pre-round-4 behavior).
+
+        ``speculative``: make short rollout buckets SAFE instead of merely
+        generous — after each sub-maximal-bucket batch the worker reads the
+        decode's final attended text position (monotonic attention ⇒ the
+        furthest position reached) and re-enqueues any request whose decode
+        did not consume its text (within ``spec_margin`` ids of the end)
+        into the next bucket up, instead of returning truncated speech.
+        This lets ``frames_per_char`` be set near the TRUE speech rate
+        (~1.2 frames/char on the campaign corpus) rather than 2.5× over it:
+        typical requests ride a rollout ~2× shorter, and the rare
+        under-estimate costs one extra (longer) pass rather than quality.
+        The reference has no analog (it always decodes MAX_FRAME_NUM).
+        Escalations surface as ``n_escalated`` in stats."""
         assert max_batch >= 1
         self.cfg = cfg
         self.syn = synthesizer
@@ -213,6 +233,8 @@ class BatchingSynthesizer:
         self.frames_buckets = fb
         self.frames_per_char = frames_per_char
         self.min_frames = min_frames
+        self.speculative = speculative and len(fb) > 1
+        self.spec_margin = spec_margin
         self._syn_by_frames = {mf: synthesizer}
         self.batch_wait_s = batch_wait_ms / 1e3
         self.trim_db = trim_db
@@ -297,8 +319,9 @@ class BatchingSynthesizer:
         if spk.shape[0] != self.cfg.spk_emb_dim:
             raise BadRequest(f"spk_emb must have dim {self.cfg.spk_emb_dim}, "
                              f"got {spk.shape[0]}")
+        n_valid = int((ids > 0).sum())
         req = _Pending(text_ids=ids, spk_emb=spk,
-                       frames=self._frames_bucket(int((ids > 0).sum())),
+                       frames=self._frames_bucket(n_valid), n_valid=n_valid,
                        deadline=(None if deadline_s is None
                                  else time.perf_counter() + deadline_s))
         # admission control: shed load at the door rather than queue beyond
@@ -478,8 +501,19 @@ class BatchingSynthesizer:
         self._batch_counter += 1
         key = jax.random.PRNGKey(self._batch_counter)
         t0 = time.perf_counter()
+        escalate: set = set()
         try:
-            audio, _, _ = self._syn_for(frames)(text, spk, key)
+            audio, _, attn = self._syn_for(frames)(text, spk, key)
+            if self.speculative and frames < self.frames_buckets[-1]:
+                # monotonic attention: the final frame's attended text
+                # position is the furthest reached — a decode that didn't
+                # get within spec_margin of its text's end was cut off by
+                # this rollout length; retry it one bucket up instead of
+                # completing with truncated speech (tiny (n, N) fetch)
+                last_pos = np.asarray(attn[:n, :, -1]).argmax(axis=1)
+                for i, r in enumerate(batch):
+                    if last_pos[i] < r.n_valid - 1 - self.spec_margin:
+                        escalate.add(i)
             if self.device_pcm:
                 audio = np.asarray(self._pcm(audio)[:n])   # int16 fetch
             else:
@@ -492,8 +526,17 @@ class BatchingSynthesizer:
                 self.stats.n_errors += n
             return
         dt = time.perf_counter() - t0
+        if escalate:
+            nxt = next(b for b in self.frames_buckets if b > frames)
+            for i in sorted(escalate):
+                batch[i].frames = nxt
+                self._q.put(batch[i])   # already admitted: bypasses max_queue
+            with self._stats_lock:
+                self.stats.n_escalated += len(escalate)
         now = time.perf_counter()
         for i, r in enumerate(batch):
+            if i in escalate:
+                continue
             try:
                 if self.device_pcm:
                     # normalization already applied on device; host does
@@ -514,7 +557,8 @@ class BatchingSynthesizer:
             r.done.set()
         with self._stats_lock:
             s = self.stats
-            s.n_requests += n
+            # escalated requests are counted when their retry completes
+            s.n_requests += n - len(escalate)
             s.n_batches += 1
             s.max_batch_seen = max(s.max_batch_seen, n)
             s.audio_seconds += sum(
@@ -522,7 +566,8 @@ class BatchingSynthesizer:
             ) / self.cfg.sampling_rate
             s.device_seconds += dt
             s.latencies_ms.extend(
-                (now - r.t_enq) * 1e3 for r in batch)
+                (now - r.t_enq) * 1e3 for i, r in enumerate(batch)
+                if i not in escalate)
             del s.latencies_ms[:-1000]   # bound the window
 
     def stats_dict(self) -> dict:

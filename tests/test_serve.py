@@ -699,3 +699,99 @@ class TestDeadlines:
         finally:
             httpd.shutdown()
             batcher.close()
+
+
+class TestSpeculative:
+    """Speculative short-rollout escalation: sub-maximal-bucket requests
+    whose decode didn't consume the text (monotonic-attention completion
+    check) retry one bucket up instead of returning truncated speech."""
+
+    def _fake_syn_for(self, cfg, calls, short_reaches_end):
+        N = cfg.max_text_len
+        hop = cfg.stft.hop_length
+
+        def syn_for(frames):
+            def run(text, spk, key):
+                bsz = text.shape[0]
+                calls.append((frames, bsz))
+                audio = np.full((bsz, frames * hop), 0.1, np.float32)
+                attn = np.zeros((bsz, N, frames), np.float32)
+                pos = N - 1 if (short_reaches_end or frames >= 8) else 1
+                attn[:, pos, -1] = 1.0
+                return audio, None, attn
+
+            return run
+
+        return syn_for
+
+    def test_incomplete_decode_escalates(self, serve_setup):
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2, speculative=True, device_pcm=False)
+        calls = []
+        b._syn_for = self._fake_syn_for(cfg, calls, short_reaches_end=False)
+        hop = cfg.stft.hop_length
+        try:
+            y = b.synthesize("abcd", np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            # first pass at bucket 4 found the text unconsumed; the audio
+            # the caller gets comes from the full-rollout retry
+            assert [f for f, _ in calls] == [4, 8], calls
+            assert len(y) == 8 * hop
+            st = b.stats_dict()
+            assert st["n_escalated"] == 1
+            assert st["n_requests"] == 1      # counted once, at completion
+            assert st["n_batches"] == 2
+        finally:
+            b.close()
+
+    def test_complete_decode_stays_in_short_bucket(self, serve_setup):
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2, speculative=True, device_pcm=False)
+        calls = []
+        b._syn_for = self._fake_syn_for(cfg, calls, short_reaches_end=True)
+        hop = cfg.stft.hop_length
+        try:
+            y = b.synthesize("abcd", np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            assert [f for f, _ in calls] == [4], calls
+            assert len(y) == 4 * hop
+            assert b.stats_dict()["n_escalated"] == 0
+        finally:
+            b.close()
+
+    def test_max_bucket_never_escalates(self, serve_setup):
+        """A request already in the largest bucket keeps today's truncation
+        semantics (no completion check, no infinite retry)."""
+        cfg, syn = serve_setup
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2, speculative=True, device_pcm=False)
+        calls = []
+        # even the long rollout "never reaches the end" here: attn pos 1
+        N = cfg.max_text_len
+        hop = cfg.stft.hop_length
+
+        def syn_for(frames):
+            def run(text, spk, key):
+                calls.append(frames)
+                bsz = text.shape[0]
+                audio = np.full((bsz, frames * hop), 0.1, np.float32)
+                attn = np.zeros((bsz, N, frames), np.float32)
+                attn[:, 1, -1] = 1.0
+                return audio, None, attn
+
+            return run
+
+        b._syn_for = syn_for
+        try:
+            y = b.synthesize("a" * 14, np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            assert calls == [8], calls     # est 7 -> bucket 8 (max) directly
+            assert len(y) == 8 * hop
+            assert b.stats_dict()["n_escalated"] == 0
+        finally:
+            b.close()
