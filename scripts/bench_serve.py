@@ -57,6 +57,12 @@ def main():
                     help="drive through the HTTP layer instead of in-process")
     ps.add_argument("--frames_buckets", type=str, default=None,
                     help="comma-separated rollout ladder (e.g. '128,200,325')")
+    ps.add_argument("--speculative", action="store_true",
+                    help="attention-completion escalation: pair with an "
+                         "aggressive --frames_per_char to measure the "
+                         "speculative-rollout latency win")
+    ps.add_argument("--frames_per_char", type=float, default=3.0)
+    ps.add_argument("--min_frames", type=int, default=96)
     ps.add_argument("--overload", action="store_true",
                     help="oversubscribe the bounded queue ~4x and report the "
                          "shed rate (503s) plus latency percentiles of the "
@@ -98,7 +104,9 @@ def main():
         batch_wait_ms=args.batch_wait_ms, trim_db=None,
         max_queue=args.max_queue,
         frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
-        if args.frames_buckets else None)
+        if args.frames_buckets else None,
+        speculative=args.speculative, frames_per_char=args.frames_per_char,
+        min_frames=args.min_frames)
     print(f"[bench_serve] warming ladder {batcher._ladder()} "
           f"(first compiles are slow)...", flush=True)
     t0 = time.perf_counter()
@@ -182,6 +190,7 @@ def main():
         "latency_s_p50": round(times[len(times) // 2], 2),
         "latency_s_p95": round(times[int(0.95 * len(times)) - 1], 2),
         "mean_batch": st["mean_batch"], "n_batches": st["n_batches"],
+        "n_escalated": st["n_escalated"],
         "backend": jax.default_backend(),
     }
     if args.overload:
