@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""A/B the speculative short-rollout serving mode on TRAINED checkpoints.
+
+Conservative mode (reference-safe): frames_per_char 3.0 — the estimator
+over-provisions ~2.5x over the true speech rate so truncation can't happen.
+Speculative mode: frames_per_char near the true rate + attention-completion
+escalation (serve.py: monotonic attention's final position tells the worker
+whether the decode consumed the text; unconsumed requests retry one bucket
+up instead of truncating).
+
+Reports per-request solo latency (sequential, the latency-facing number),
+escalation rate, bucket histogram, and a quality guard: the trimmed audio
+duration of every speculative request vs its conservative twin (escalation
+must protect against truncation, so large negative duration deltas = bug).
+
+Writes docs/SPECULATIVE.json. Needs trained checkpoints (random params have
+meaningless attention): point --config at a campaign config whose
+INFERENCE_* models exist, e.g. _campaign_r4/config.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts._benchlib import setup_cache  # noqa: E402
+
+setup_cache()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def run_mode(cfg, syn, texts, spk, *, speculative, frames_buckets,
+             frames_per_char, min_frames, repeats):
+    from spoofsv_tpu.serve import BatchingSynthesizer
+
+    b = BatchingSynthesizer(
+        cfg, syn, max_batch=8, batch_wait_ms=0.0, trim_db=30.0,
+        frames_buckets=frames_buckets, frames_per_char=frames_per_char,
+        min_frames=min_frames, speculative=speculative)
+    try:
+        b.warmup(buckets=[1])
+        # one unmeasured pass (post-warmup respecialization, tunnel state)
+        b.synthesize(texts[0], spk, timeout=600)
+        lat, durs = [], []
+        t0 = time.perf_counter()
+        for r in range(repeats):
+            for t in texts:
+                t1 = time.perf_counter()
+                audio = b.synthesize(t, spk, timeout=600)
+                lat.append(time.perf_counter() - t1)
+                durs.append(len(audio) / cfg.sampling_rate)
+        wall = time.perf_counter() - t0
+        lat.sort()
+        st = b.stats_dict()
+        return {
+            "speculative": speculative,
+            "frames_per_char": frames_per_char,
+            "frames_buckets": b.frames_buckets,
+            "n_requests": len(lat),
+            "latency_ms_p50": round(lat[len(lat) // 2] * 1e3, 1),
+            "latency_ms_p95": round(lat[int(0.95 * len(lat)) - 1] * 1e3, 1),
+            "latency_ms_mean": round(float(np.mean(lat)) * 1e3, 1),
+            "wall_s": round(wall, 1),
+            "n_escalated": st["n_escalated"],
+            "trimmed_durations_s": [round(d, 3) for d in durs],
+        }
+    finally:
+        b.close()
+
+
+def main():
+    ps = argparse.ArgumentParser()
+    ps.add_argument("--config", default="_campaign_r4/config.json")
+    ps.add_argument("--texts", default=None,
+                    help="default: <config dir>/texts.txt")
+    ps.add_argument("--repeats", type=int, default=2)
+    ps.add_argument("--fpc_spec", type=float, default=1.2)
+    ps.add_argument("--out", default="docs/SPECULATIVE.json")
+    args = ps.parse_args()
+
+    from spoofsv_tpu.cli.main import (apply_runtime_knobs, build_models,
+                                      inference_dtype)
+    from spoofsv_tpu.config import load_config
+    from spoofsv_tpu.infer.synthesize import Synthesizer
+    from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+    cfg = load_config(args.config)
+    apply_runtime_knobs(cfg, infer=True)
+    melsyn, ssrn, _, _ = build_models(cfg, "conditional",
+                                      dtype=inference_dtype(cfg))
+    p1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
+    p2 = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg,
+                               kind="ssrn")
+    syn = Synthesizer(cfg, melsyn, ssrn, p1, p2)
+
+    texts_path = args.texts or os.path.join(os.path.dirname(args.config),
+                                            "texts.txt")
+    texts = [ln.strip() for ln in open(texts_path) if ln.strip()]
+    spk = np.zeros(cfg.spk_emb_dim, np.float32)
+
+    conservative = run_mode(
+        cfg, syn, texts, spk, speculative=False,
+        frames_buckets=[160], frames_per_char=3.0, min_frames=96,
+        repeats=args.repeats)
+    speculative = run_mode(
+        cfg, syn, texts, spk, speculative=True,
+        frames_buckets=[48, 96, 160], frames_per_char=args.fpc_spec,
+        min_frames=24, repeats=args.repeats)
+
+    # quality guard: speculation must not shorten the (trimmed) speech.
+    # Identical text+speaker through a longer rollout only appends trailing
+    # silence/garbage that the trim removes, so large negative deltas mean
+    # the completion check passed a truncated decode.
+    dc = conservative.pop("trimmed_durations_s")
+    dsp = speculative.pop("trimmed_durations_s")
+    deltas = [s - c for s, c in zip(dsp, dc)]
+    quality = {
+        "duration_delta_s_min": round(min(deltas), 3),
+        "duration_delta_s_max": round(max(deltas), 3),
+        "duration_delta_s_mean": round(float(np.mean(deltas)), 3),
+        "n_compared": len(deltas),
+    }
+    out = {
+        "metric": "speculative_solo_latency_p50_ms",
+        "value": speculative["latency_ms_p50"],
+        "unit": "ms",
+        "vs_conservative_p50_ms": conservative["latency_ms_p50"],
+        "detail": {"conservative": conservative,
+                   "speculative": speculative,
+                   "quality_guard": quality,
+                   "backend": jax.default_backend()},
+    }
+    print(json.dumps(out))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
