@@ -80,7 +80,9 @@ def main():
     ps.add_argument("--texts", default=None,
                     help="default: <config dir>/texts.txt")
     ps.add_argument("--repeats", type=int, default=2)
-    ps.add_argument("--fpc_spec", type=float, default=1.2)
+    # the campaign corpus synthesizes at exactly 2.0 frames/char (measured
+    # over 600 utts); 2.1 leaves a hair of margin so escalations stay rare
+    ps.add_argument("--fpc_spec", type=float, default=2.1)
     ps.add_argument("--out", default="docs/SPECULATIVE.json")
     args = ps.parse_args()
 

@@ -45,7 +45,8 @@ def main(argv=None) -> None:
                          "didn't consume the text (monotonic-attention "
                          "completion check) one bucket up instead of "
                          "truncating — lets --frames_per_char sit near the "
-                         "true speech rate (~1.2) for ~2x shorter typical "
+                         "true speech rate (2.0 on the campaign corpus; "
+                         "real speech varies more) for shorter typical "
                          "rollouts")
     ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
                     help="data-parallel serving over an N-device mesh")

@@ -214,8 +214,10 @@ class BatchingSynthesizer:
         did not consume its text (within ``spec_margin`` ids of the end)
         into the next bucket up, instead of returning truncated speech.
         This lets ``frames_per_char`` be set near the TRUE speech rate
-        (~1.2 frames/char on the campaign corpus) rather than 2.5× over it:
-        typical requests ride a rollout ~2× shorter, and the rare
+        (2.0 frames/char exactly on the synthetic campaign corpus, measured
+        over 600 utts; real speech varies more — which is when escalation
+        earns its keep) rather than well over it: typical requests ride a
+        correspondingly shorter rollout, and the rare
         under-estimate costs one extra (longer) pass rather than quality.
         The reference has no analog (it always decodes MAX_FRAME_NUM).
         Escalations surface as ``n_escalated`` in stats."""
