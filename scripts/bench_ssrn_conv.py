@@ -28,7 +28,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from spoofsv_tpu.ops.pallas_conv import (  # noqa: E402
-    fused_highway_conv, highway_conv_reference)
+    fused_highway_conv, fused_highway_conv_pair, highway_conv_reference)
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "docs", "SSRN_PROFILE.json")
@@ -99,6 +99,80 @@ def main():
         row["hbm_min_ms"] = round(2 * B * T * C * 2 / 819e9 * 1e3, 2)
         results["shapes"][label] = row
         print(label, row, flush=True)
+
+    # ---- two-layer PAIR fusion (ops/pallas_conv.fused_highway_conv_pair):
+    # the SSRN's actual back-to-back pairs, timed as xla two-layer chain vs
+    # 2× single-fused vs ONE pair dispatch (inter-layer y1 stays in VMEM)
+    results["pairs"] = {}
+    pair_shapes = [
+        ("pair_hc34_B768", 768, 1300, 512, 1, 1),
+        ("pair_hc34_B256", 256, 1300, 512, 1, 1),
+        ("pair_hc12_B256", 256, 325, 256, 1, 3),
+        ("pair_ups_B768", 768, 650, 256, 1, 3),
+    ]
+    for label, B, T, C, da, db in pair_shapes:
+        x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.bfloat16)
+        pa = [jnp.asarray(rng.normal(size=(3, C, 2 * C)) * 0.05, jnp.bfloat16),
+              jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32)] + \
+             [jnp.asarray(rng.normal(size=(C,)) * 0.2 + 1.0, jnp.float32)
+              for _ in range(4)]
+        pb = [jnp.asarray(rng.normal(size=(3, C, 2 * C)) * 0.05, jnp.bfloat16),
+              jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32)] + \
+             [jnp.asarray(rng.normal(size=(C,)) * 0.2 + 1.0, jnp.float32)
+              for _ in range(4)]
+
+        def xla2(v):
+            return highway_conv_reference(
+                highway_conv_reference(v, *pa, dilation=da), *pb, dilation=db)
+
+        def fused2(v):
+            return fused_highway_conv(
+                fused_highway_conv(v, *pa, dilation=da, interpret=False),
+                *pb, dilation=db, interpret=False)
+
+        row = {"B": B, "T": T, "C": C, "dil": (da, db),
+               "xla_ms": round(chained_ms(xla2, x), 2),
+               "fused2x_ms": round(chained_ms(fused2, x), 2)}
+        for bt in (256, 512):
+            def pairfn(v, bt=bt):
+                return fused_highway_conv_pair(
+                    v, *pa, *pb, dilation_a=da, dilation_b=db, block_t=bt,
+                    interpret=False)
+
+            try:
+                row[f"pair_bt{bt}_ms"] = round(chained_ms(pairfn, x), 2)
+            except Exception as e:
+                row[f"pair_bt{bt}_ms"] = f"error: {type(e).__name__}"
+        flops = 2 * 2 * B * T * C * 2 * C * 3
+        row["mxu_roofline_ms"] = round(flops / 197e12 * 1e3, 2)
+        results["pairs"][label] = row
+        print(label, row, flush=True)
+
+    # ---- module-level A/B: FULL SSRN forward under each process switch
+    # (the decisive number — docs/SSRN_PROFILE.json's r4 inversion showed
+    # isolated wins don't survive the dispatch boundaries; fused_pair halves
+    # them and keeps y1 in VMEM)
+    from spoofsv_tpu.models.layers import set_default_gate_impl
+    from spoofsv_tpu.models.ssrn import SSRN
+
+    B, T = 768, 325
+    mel = jnp.asarray(rng.uniform(0.05, 0.95, (B, T, 80)), jnp.bfloat16)
+    model = SSRN(freq_bins=80, output_bins=513, ssrn_dim=256,
+                 dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), mel[:1])
+    mod = {"what": "FULL SSRN forward (B=768, T=325->1300, bf16) "
+                   "chained-timed, per process switch (ABAB order)"}
+    try:
+        for rep in range(2):
+            for impl in ("xla", "fused_conv", "fused_pair"):
+                set_default_gate_impl(impl)
+                ms = chained_ms(lambda v: model.apply(params, v), mel,
+                                iters=10)
+                mod.setdefault(f"{impl}_ms", []).append(round(ms, 2))
+                print(f"module {impl} rep{rep}: {ms:.2f} ms", flush=True)
+    finally:
+        set_default_gate_impl("xla")
+    results["module_ab"] = mod
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)

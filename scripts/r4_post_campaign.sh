@@ -29,4 +29,5 @@ step() {
 
 step speculative timeout 3000 python scripts/bench_speculative.py
 step bench       timeout 3000 python bench.py
+step ssrn_pair   timeout 3000 python scripts/bench_ssrn_conv.py
 echo "[r4post] ALL DONE"

@@ -113,10 +113,14 @@ class TPUConfig:
     # it (120 vs 104 ms at B=768, reproduced twice — the pallas_call
     # boundaries break XLA's cross-layer fusion/scheduling, the same
     # module-level inversion the gate kernel and int8 conv hit; numbers in
-    # docs/SSRN_PROFILE.json). Default therefore stays "xla"; the knob
-    # remains for other shapes/backends. Kept separate from the training
-    # switch because the fused forward pairs with a recompute-style
-    # custom_vjp (wrong trade inside jax.grad).
+    # docs/SSRN_PROFILE.json). "fused_pair" goes one further: consecutive
+    # highway blocks (SSRN hc1→hc2 / ups*.hc1→hc2 / hc3→hc4, the dilation
+    # stacks' (1,3)/(9,27) pairs) run as ONE dispatch with the inter-layer
+    # activation kept in VMEM — halving the dispatch-boundary count the
+    # single-block fusion's module-level inversion pointed at. Default
+    # stays "xla"; the knobs remain for other shapes/backends. Kept
+    # separate from the training switch because the fused forwards pair
+    # with a recompute-style custom_vjp (wrong trade inside jax.grad).
     highway_infer_impl: str = "xla"
     remat: bool = False                # jax.checkpoint over highway stacks
 

@@ -46,8 +46,55 @@ _DEFAULT_GATE_IMPL = "xla"
 
 def set_default_gate_impl(impl: str) -> None:
     global _DEFAULT_GATE_IMPL
-    assert impl in ("xla", "pallas", "fused_conv"), impl
+    assert impl in ("xla", "pallas", "fused_conv", "fused_pair"), impl
     _DEFAULT_GATE_IMPL = impl
+
+
+def highway_pair(a: "HighwayConv", b: "HighwayConv", x: Array,
+                 deterministic: bool = True) -> Array:
+    """Apply two consecutive highway blocks, fusing them into ONE pallas
+    dispatch when the process-wide impl is ``"fused_pair"`` (the
+    two-layer-per-dispatch design from docs/NEXT.md: the inter-layer
+    activation stays in VMEM and the dispatch-boundary count halves — the
+    lever the single-block fusion's module-level inversion pointed at,
+    docs/SSRN_PROFILE.json). Falls back to sequential block calls at init,
+    for mismatched shapes/causality, when a training-mode dropout sits
+    between the blocks (fusion would skip it), or when the combined conv
+    halo doesn't fit the tile."""
+    impl = a.gate_impl or _DEFAULT_GATE_IMPL
+    if impl == "fused_pair" and not a.is_initializing() and x.ndim == 3:
+        span_a = a.dilation * (a.kernel_size - 1)
+        span_b = b.dilation * (b.kernel_size - 1)
+        block_t = min(256, max(8, x.shape[1]))
+        pa_l = span_a if a.causal else span_a // 2
+        pb_l = span_b if b.causal else span_b // 2
+        fusable = (
+            a.dim == b.dim and a.causal == b.causal
+            and a.kernel_size == b.kernel_size
+            and (deterministic or (a.dropout_rate == 0.0
+                                   and b.dropout_rate == 0.0))
+            and pa_l + pb_l <= block_t
+            and (span_a - pa_l) + (span_b - pb_l) <= block_t)
+        if fusable:
+            from spoofsv_tpu.ops.pallas_conv import fused_highway_conv_pair_ad
+
+            dt = a.dtype
+            pca = a.conv.variables["params"]
+            p1a = a.ln1.variables["params"]
+            p2a = a.ln2.variables["params"]
+            pcb = b.conv.variables["params"]
+            p1b = b.ln1.variables["params"]
+            p2b = b.ln2.variables["params"]
+            out = fused_highway_conv_pair_ad(
+                x.astype(dt),
+                pca["kernel"].astype(dt), pca["bias"],
+                p1a["scale"], p1a["bias"], p2a["scale"], p2a["bias"],
+                pcb["kernel"].astype(dt), pcb["bias"],
+                p1b["scale"], p1b["bias"], p2b["scale"], p2b["bias"],
+                a.dilation, b.dilation, a.causal)
+            out = functional_dropout(a, out, a.dropout_rate, deterministic)
+            return functional_dropout(b, out, b.dropout_rate, deterministic)
+    return b(a(x, deterministic), deterministic)
 
 
 def functional_dropout(module: nn.Module, x: Array, rate: float,
@@ -99,8 +146,11 @@ class HighwayConv(nn.Module):
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         """Full-sequence forward; ``x``: (B, T, C)."""
         impl = self.gate_impl or _DEFAULT_GATE_IMPL
-        if (impl == "fused_conv" and not self.is_initializing()
+        if (impl in ("fused_conv", "fused_pair") and not self.is_initializing()
                 and x.ndim == 3 and self.pad <= min(256, x.shape[1])):
+            # "fused_pair" blocks that reach here individually (no partner
+            # at the call site, or the pair was unfusable) still run the
+            # single-block whole-conv fusion.
             # Whole-block Pallas fusion (ops/pallas_conv.py): conv + LN1/LN2
             # + σ gate + residual in one VMEM pass — the 2C pre-activation
             # never reaches HBM. Falls through to the plain path for inputs
@@ -183,9 +233,9 @@ class HighwayDilationStack(nn.Module):
         ]
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        for blk in self.blocks:
-            x = blk(x, deterministic)
-        return x
+        # under "fused_pair" the (1,3) and (9,27) blocks fuse two-by-two
+        x = highway_pair(self.blocks[0], self.blocks[1], x, deterministic)
+        return highway_pair(self.blocks[2], self.blocks[3], x, deterministic)
 
     def init_cache(self, batch: int, dtype=None):
         return tuple(b.init_cache(batch, dtype) for b in self.blocks)

@@ -14,7 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from spoofsv_tpu.models.layers import KAIMING, LN_EPS, Array, HighwayConv
+from spoofsv_tpu.models.layers import (KAIMING, LN_EPS, Array, HighwayConv,
+                                       highway_pair)
 
 
 class Upsample2x(nn.Module):
@@ -28,11 +29,12 @@ class Upsample2x(nn.Module):
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = nn.ConvTranspose(self.dim, (2,), strides=(2,), padding="VALID",
                              kernel_init=KAIMING, dtype=self.dtype, name="deconv")(x)
-        x = HighwayConv(self.dim, 3, 1, False, self.dropout_rate, self.dtype,
-                        name="hc1")(x, deterministic)
-        x = HighwayConv(self.dim, 3, 3, False, self.dropout_rate, self.dtype,
-                        name="hc2")(x, deterministic)
-        return x
+        return highway_pair(
+            HighwayConv(self.dim, 3, 1, False, self.dropout_rate, self.dtype,
+                        name="hc1"),
+            HighwayConv(self.dim, 3, 3, False, self.dropout_rate, self.dtype,
+                        name="hc2"),
+            x, deterministic)
 
 
 class SSRN(nn.Module):
@@ -62,14 +64,16 @@ class SSRN(nn.Module):
 
         x = ln_dense(mel, d, "conv1")
         x = drop(x, "dp1")
-        x = HighwayConv(d, 3, 1, False, dp, self.dtype, name="hc1")(x, deterministic)
-        x = HighwayConv(d, 3, 3, False, dp, self.dtype, name="hc2")(x, deterministic)
+        x = highway_pair(HighwayConv(d, 3, 1, False, dp, self.dtype, name="hc1"),
+                         HighwayConv(d, 3, 3, False, dp, self.dtype, name="hc2"),
+                         x, deterministic)
         x = Upsample2x(d, dp, self.dtype, name="ups1")(x, deterministic)
         x = Upsample2x(d, dp, self.dtype, name="ups2")(x, deterministic)
         x = ln_dense(x, 2 * d, "conv2")
         x = drop(x, "dp2")
-        x = HighwayConv(2 * d, 3, 1, False, dp, self.dtype, name="hc3")(x, deterministic)
-        x = HighwayConv(2 * d, 3, 1, False, dp, self.dtype, name="hc4")(x, deterministic)
+        x = highway_pair(HighwayConv(2 * d, 3, 1, False, dp, self.dtype, name="hc3"),
+                         HighwayConv(2 * d, 3, 1, False, dp, self.dtype, name="hc4"),
+                         x, deterministic)
         x = ln_dense(x, self.output_bins, "conv3")
         x = drop(x, "dp3")
         x = ln_dense(x, self.output_bins, "conv4")

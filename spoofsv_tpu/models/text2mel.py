@@ -29,6 +29,7 @@ from spoofsv_tpu.models.layers import (
     Array,
     HighwayConv,
     HighwayDilationStack,
+    highway_pair,
     functional_dropout,
 )
 
@@ -72,10 +73,8 @@ class TextEncoder(nn.Module):
         x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.hci1(x, deterministic)
         x = self.hci2(x, deterministic)
-        x = self.hc1(x, deterministic)
-        x = self.hc2(x, deterministic)
-        x = self.hc3(x, deterministic)
-        x = self.hc4(x, deterministic)
+        x = highway_pair(self.hc1, self.hc2, x, deterministic)
+        x = highway_pair(self.hc3, self.hc4, x, deterministic)
         K, V = jnp.split(x, 2, axis=-1)
         return K, V
 
@@ -139,8 +138,7 @@ class AudioEncoder(nn.Module):
         x = self._front(mel, spk, deterministic)
         x = self.hci1(x, deterministic)
         x = self.hci2(x, deterministic)
-        x = self.hc1(x, deterministic)
-        x = self.hc2(x, deterministic)
+        x = highway_pair(self.hc1, self.hc2, x, deterministic)
         return x
 
     # -- incremental --------------------------------------------------------
@@ -203,8 +201,7 @@ class AudioDecoder(nn.Module):
         x = self.ln1(self.conv1(rq))
         x = functional_dropout(self, x, self.dropout_rate, deterministic)
         x = self.hci(x, deterministic)
-        x = self.hc1(x, deterministic)
-        x = self.hc2(x, deterministic)
+        x = highway_pair(self.hc1, self.hc2, x, deterministic)
         return self._tail(x, deterministic)
 
     def init_cache(self, batch: int):
