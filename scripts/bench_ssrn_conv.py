@@ -148,6 +148,36 @@ def main():
         results["pairs"][label] = row
         print(label, row, flush=True)
 
+    # ---- Winograd algorithmic arm (ops/winograd.py): same highway block,
+    # k=3 dil-1 conv via F(2,3)/F(4,3) — 1.5x/2x fewer MXU MACs in plain
+    # XLA. Decides whether the hc3/hc4 2x-roofline gap is FLOP-bound.
+    from spoofsv_tpu.ops.winograd import winograd_highway_conv
+
+    results["winograd"] = {}
+    for label, B, T, C in [("hc3_B768", 768, 1300, 512),
+                           ("hc3_B256", 256, 1300, 512)]:
+        x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, C, 2 * C)) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32)
+        s1, b1, s2, b2 = (jnp.asarray(rng.normal(size=(C,)) * 0.2 + 1.0,
+                                      jnp.float32) for _ in range(4))
+        row = {"B": B, "T": T, "C": C,
+               "xla_ms": round(chained_ms(
+                   lambda v: highway_conv_reference(v, w, b, s1, b1, s2, b2),
+                   x), 2)}
+        for m in (2, 4):
+            def wino(v, m=m):
+                return winograd_highway_conv(v, w, b, s1, b1, s2, b2, m=m)
+
+            try:
+                row[f"wino_f{m}_ms"] = round(chained_ms(wino, x), 2)
+            except Exception as e:
+                row[f"wino_f{m}_ms"] = f"error: {type(e).__name__}"
+        flops = 2 * B * T * C * 2 * C * 3
+        row["mxu_roofline_ms"] = round(flops / 197e12 * 1e3, 2)
+        results["winograd"][label] = row
+        print("winograd", label, row, flush=True)
+
     # ---- module-level A/B: FULL SSRN forward under each process switch
     # (the decisive number — docs/SSRN_PROFILE.json's r4 inversion showed
     # isolated wins don't survive the dispatch boundaries; fused_pair halves
@@ -166,8 +196,14 @@ def main():
         for rep in range(2):
             for impl in ("xla", "fused_conv", "fused_pair"):
                 set_default_gate_impl(impl)
-                ms = chained_ms(lambda v: model.apply(params, v), mel,
-                                iters=10)
+                try:
+                    ms = chained_ms(lambda v: model.apply(params, v), mel,
+                                    iters=10)
+                except Exception as e:  # keep the artifact on compile failure
+                    mod.setdefault(f"{impl}_ms", []).append(
+                        f"error: {type(e).__name__}")
+                    print(f"module {impl} rep{rep}: ERROR {e}", flush=True)
+                    continue
                 mod.setdefault(f"{impl}_ms", []).append(round(ms, 2))
                 print(f"module {impl} rep{rep}: {ms:.2f} ms", flush=True)
     finally:
