@@ -191,6 +191,15 @@ def fused_highway_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
 # and run conv_b + LN×2 + gate — x is read once, y written once, h_a, y1,
 # h_b never touch HBM. The recompute overhead is span_b extra rows of
 # layer A per tile (≤ 6/256 ≈ 2 %).
+#
+# MEASURED (v5e, docs/SSRN_PROFILE.json "pairs"/"module_ab"): every isolated
+# pair wins 20–25 % vs XLA (hc34 B768: 72.45 → 55.43 ms) and beats the 2×
+# single-block chain (58.11) — but the FULL module still inverts (fused_pair
+# 116–120 ms vs xla 104.3–104.6), the fourth module-level inversion after
+# the gate kernel, int8 conv and single-block fusion: pallas_call boundaries
+# break XLA's cross-layer scheduling regardless of how few there are. The
+# pair kernel stays an opt-in arm ("fused_pair" impl) for isolated-block
+# callers; highway_infer_impl default remains "xla".
 # ---------------------------------------------------------------------------
 def _hconv_pair_kernel(xprev_ref, xcur_ref, xnext_ref,
                        wa_ref, ba_ref, s1a_ref, b1a_ref, s2a_ref, b2a_ref,

@@ -23,6 +23,14 @@ computed in the weight dtype and accumulated in f32 — parity tests pin
 f32 exactness class, and the bf16 divergence must be judged on-chip
 (bench_ssrn_conv.py --winograd arm) before this can back a default.
 
+MEASURED (v5e, docs/SSRN_PROFILE.json "winograd"): ~3.2x SLOWER than the
+direct conv at both hot shapes (hc3 B768: 119/118.99 ms vs 36.85 direct;
+B256: 41.1/39.8 vs 13.3) despite 1.5–2x fewer MACs — the strided window
+slicing + transform linear combinations are VPU/layout work that dwarfs
+the MXU saving when the direct conv already runs at only ~2x roofline.
+Kept as a documented negative result; do not revisit without moving the
+transforms themselves into a Pallas kernel.
+
 Reference conv semantics matched: ``models.layers.HighwayConv``'s k=3
 conv, SAME (centered) or causal (left) zero padding, dilation 1 (dilated
 variants would need per-phase decomposition — not the hot shape).
