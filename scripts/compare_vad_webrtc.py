@@ -104,9 +104,12 @@ def main():
         run("native-vs-energy", native_flags, energy_flags)
         return
 
-    vad = webrtcvad.Vad(2)
-
     def wheel_flags(y):
+        # fresh detector per utterance: webrtcvad's GMM adapts over a
+        # stream, and the native side constructs a new detector per call —
+        # sharing one Vad across utterances would report adaptation-state
+        # drift as transcription divergence
+        vad = webrtcvad.Vad(2)
         pcm = float_to_pcm16(y).tobytes()
         n_frames = max(0, (len(y) - 1) // n)
         return np.asarray([

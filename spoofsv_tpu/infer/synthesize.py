@@ -86,15 +86,15 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
 
 
 def finalize_audio(audio: np.ndarray, cfg: Config, trim_db: Optional[float] = None,
-                   max_seconds: Optional[float] = None,
-                   pre_normalized: bool = False) -> np.ndarray:
+                   max_seconds: Optional[float] = None) -> np.ndarray:
     """Host-side tail: optional trim, duration cap, peak scale ×0.75.
 
     Mirrors ``generate_test_utterances.py:136-139`` (trim 30 dB, 9 s cap) and
     ``synthesize.py:147`` (scale by max → 0.75; note the reference divides by
-    ``max`` not ``|max|`` — preserved). ``pre_normalized``: skip the peak
-    scaling — the caller already applied it (the serving path's on-device
-    int16 PCM epilogue, :mod:`spoofsv_tpu.serve`).
+    ``max`` not ``|max|`` — preserved). The serving path's on-device int16
+    PCM epilogue (:mod:`spoofsv_tpu.serve`) feeds its dequantized audio
+    through this same normalization, so both serving modes scale over the
+    identical post-trim/cap window.
     """
     y = np.asarray(audio, dtype=np.float32)
     if trim_db is not None:
@@ -103,7 +103,7 @@ def finalize_audio(audio: np.ndarray, cfg: Config, trim_db: Optional[float] = No
             y = np.asarray(audio, dtype=np.float32)
     if max_seconds is not None and len(y) > int(max_seconds * cfg.sampling_rate):
         y = y[: int(max_seconds * cfg.sampling_rate)]
-    if not cfg.norm.log_feature and not pre_normalized:
+    if not cfg.norm.log_feature:
         y = y / np.max(y) * 0.75
     return y
 

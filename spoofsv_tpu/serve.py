@@ -252,21 +252,21 @@ class BatchingSynthesizer:
         self.device_pcm = (not cfg.norm.log_feature) if device_pcm is None \
             else (device_pcm and not cfg.norm.log_feature)
 
-        # Peak over the max_seconds-capped region (static slice), so the
-        # device scale equals the host path's normalize-after-trim/cap
-        # (finalize_audio): the silence trim can never remove the peak
-        # sample (it only drops sub-threshold edges), but the duration cap
-        # can cut before it. Signed max, matching the reference's
-        # synthesize.py:147 `wav / max(wav)`; the 1e-8 clamp only diverges
-        # on degenerate all-non-positive audio, where the host/reference
-        # path divides by a non-positive number (garbage either way).
-        cap = None if max_seconds is None else \
-            int(max_seconds * cfg.sampling_rate)
+        # The device scale is RANGE PROTECTION only: |max| over the full
+        # rollout keeps every sample in [-0.75, 0.75], so the int16
+        # quantization can never clip regardless of where the waveform's
+        # peak lies. The reference's signed-max ×0.75 peak normalization
+        # (synthesize.py:147 `wav / max(wav)`) is applied on HOST over the
+        # final trim/cap window by finalize_audio — the same code path the
+        # non-device mode uses — so host/device parity holds in every
+        # trim_db/max_seconds combination (previously the device peaked
+        # over the raw [0, cap) slice, which diverges from the host's
+        # normalize-after-trim window when both knobs are set and the true
+        # peak lies past the cap but inside the trimmed window).
 
         @_jax.jit
         def _pcm(audio):
-            region = audio if cap is None else audio[:, :cap]
-            peak = jnp.max(region, axis=1, keepdims=True)
+            peak = jnp.max(jnp.abs(audio), axis=1, keepdims=True)
             y = audio / jnp.maximum(peak, 1e-8) * 0.75
             return jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
@@ -471,7 +471,8 @@ class BatchingSynthesizer:
                     r.done.set()
                 with self._stats_lock:
                     self.stats.n_expired += len(expired)
-                live = [r for r in live if not (r.deadline and r.deadline < now)]
+                dead = set(map(id, expired))   # one predicate, one verdict
+                live = [r for r in live if id(r) not in dead]
             # split by frames bucket (one compiled rollout length per group;
             # single-bucket configs pass straight through)
             groups: Dict[int, List[_Pending]] = {}
@@ -541,12 +542,12 @@ class BatchingSynthesizer:
                 continue
             try:
                 if self.device_pcm:
-                    # normalization already applied on device; host does
-                    # only the cheap O(L) trim/cap on the dequantized copy
+                    # device applied range protection only; the reference's
+                    # peak normalization happens here, over the final
+                    # trim/cap window, exactly like the non-device branch
                     y = finalize_audio(audio[i].astype(np.float32) / 32767.0,
                                        self.cfg, trim_db=self.trim_db,
-                                       max_seconds=self.max_seconds,
-                                       pre_normalized=True)
+                                       max_seconds=self.max_seconds)
                 else:
                     y = finalize_audio(audio[i], self.cfg,
                                        trim_db=self.trim_db,
@@ -604,11 +605,14 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
         def log_message(self, *a):   # quiet access log
             pass
 
-        def _json(self, code: int, obj: dict) -> None:
+        def _json(self, code: int, obj: dict,
+                  headers: Optional[dict] = None) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -626,6 +630,8 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length < 0:   # rfile.read(-1) would block until EOF,
+                    raise ValueError  # pinning this handler thread forever
             except ValueError:
                 self._json(400, {"error": "bad Content-Length"})
                 return
@@ -665,14 +671,8 @@ def make_http_server(batcher: BatchingSynthesizer, speakers: SpeakerTable,
                 self._json(504, {"error": str(e)})
                 return
             except ServerOverloaded as e:
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_response(503)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After",
-                                 str(int(np.ceil(e.retry_after_s))))
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json(503, {"error": str(e)}, headers={
+                    "Retry-After": str(int(np.ceil(e.retry_after_s)))})
                 return
             except BaseException as e:  # noqa: BLE001 - report, don't crash
                 self._json(500, {"error": str(e)})

@@ -31,16 +31,18 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Compilation cache: PER-RUN dir (under the test's tmp workdir), never a
-    # machine-global one. The r3 flake's root cause (diagnosed r4): cache
-    # keys are per-rank (the device assignment embeds rank-local device
-    # ids), so after any killed attempt rank 0 is cache-warm while rank 1
-    # compiles cold — a >30 s compile skew that blows gloo's hardcoded 30 s
-    # GetKeyValue timeout at context init, self-perpetuating across retries.
-    # A fresh shared dir per run keeps both ranks symmetric (both cold),
-    # where the skew is only scheduler noise.
+    # Compilation cache: PER-ATTEMPT dir (keyed by the coordinator port,
+    # which _reserve_port picks fresh each retry), never a machine-global
+    # one. The r3 flake's root cause (diagnosed r4): cache keys are
+    # per-rank (the device assignment embeds rank-local device ids), so
+    # after any killed attempt rank 0 is cache-warm while rank 1 compiles
+    # cold — a >30 s compile skew that blows gloo's hardcoded 30 s
+    # GetKeyValue timeout at context init, self-perpetuating across
+    # retries. Keying the dir by port keeps both ranks of ONE attempt
+    # symmetric (shared dir, both cold) while the retry attempt starts
+    # from a clean cache instead of inheriting the killed run's skew.
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(workdir, "jax_cache"))
+                      os.path.join(workdir, f"jax_cache_{port}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import numpy as np

@@ -8,6 +8,7 @@ error isolation, and the HTTP endpoints end-to-end.
 
 import io
 import json
+import socket
 import threading
 import time
 import urllib.error
@@ -374,25 +375,77 @@ class TestOverload:
             httpd.shutdown()
             batcher.close()
 
+    def test_http_negative_content_length_400(self, serve_setup):
+        """A negative Content-Length must be rejected up front — passing it
+        to rfile.read() would block until the peer closes, pinning the
+        handler thread forever (a trivial thread-exhaustion vector)."""
+        cfg, syn = serve_setup
+        batcher = _mk_batcher(cfg, syn)
+        httpd = make_http_server(batcher, SpeakerTable(""), port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        host, port = httpd.server_address[:2]
+        try:
+            with socket.create_connection((host, port), timeout=30) as s:
+                s.sendall(b"POST /synthesize HTTP/1.1\r\n"
+                          b"Host: x\r\nContent-Length: -1\r\n\r\n")
+                s.settimeout(30)
+                status = s.recv(4096).split(b"\r\n", 1)[0]
+            assert b"400" in status, status
+        finally:
+            httpd.shutdown()
+            batcher.close()
+
 
 def test_device_pcm_peak_past_duration_cap(serve_setup):
-    """The device PCM epilogue must normalize by the peak of the
-    max_seconds-capped region (what the host path sees after trim/cap), not
-    the full fixed rollout — crafted audio puts the global peak past the
-    cap."""
+    """The device PCM epilogue is range protection only (|max| over the full
+    rollout — nothing can clip in int16); the reference peak normalization
+    runs on host over the final trim/cap window. The composed pipeline must
+    match the pure-host path even when trim_db AND max_seconds are both set
+    and the true peak lies past the raw cap but inside the trimmed window —
+    the case where normalizing on device over any static slice diverges."""
     cfg, syn = serve_setup
     max_s = 0.01                       # cap = 220 samples @ 22050
     cap = int(max_s * cfg.sampling_rate)
     b = _mk_batcher(cfg, syn, device_pcm=True, max_seconds=max_s)
     try:
-        y = np.full((1, 500), 0.1, np.float32)
-        y[0, 10] = 0.5                 # in-cap peak
-        y[0, 400] = 0.9                # global peak, past the cap
-        pcm = np.asarray(b._pcm(jnp.asarray(y)))[0].astype(np.float32) / 32767.0
-        host = finalize_audio(y[0], cfg, trim_db=None, max_seconds=max_s)
-        assert len(host) == cap
-        np.testing.assert_allclose(pcm[:cap], host, atol=1.01 / 32767.0)
-        assert abs(pcm[:cap].max() - 0.75) < 1e-3   # scaled by in-cap peak
+        rng = np.random.default_rng(7)
+
+        def compose(y, trim_db):
+            pcm = np.asarray(b._pcm(jnp.asarray(y[None])))[0]
+            return finalize_audio(pcm.astype(np.float32) / 32767.0, cfg,
+                                  trim_db=trim_db, max_seconds=max_s)
+
+        # cap only: global peak past the cap
+        y = np.full(500, 0.1, np.float32)
+        y[10], y[400] = 0.5, 0.9
+        host = finalize_audio(y, cfg, trim_db=None, max_seconds=max_s)
+        got = compose(y, trim_db=None)
+        assert len(host) == len(got) == cap
+        np.testing.assert_allclose(got, host, atol=2.1 / 32767.0)
+        assert abs(got.max() - 0.75) < 1e-3   # scaled by the window peak
+
+        # trim + cap: leading silence shifts the host window past the raw
+        # cap, where a larger peak lives (the pre-fix divergence/clip case)
+        y = np.zeros(900, np.float32)
+        y[150:800] = 0.1 * rng.standard_normal(650).astype(np.float32)
+        y[160], y[390] = 0.2, 0.45     # window peak past the raw cap of 220
+        host = finalize_audio(y, cfg, trim_db=30.0, max_seconds=max_s)
+        got = compose(y, trim_db=30.0)
+        assert len(host) == len(got)
+        # int16 quantization error is amplified by the host window renorm
+        # (×full-peak/window-peak = 0.45/0.2 here); a window MISMATCH — what
+        # this test guards — would show up as O(0.1) errors, 3 orders above
+        # NB the final float audio may exceed |0.75| on negatives (reference
+        # normalizes by SIGNED max) — that is reference semantics, not
+        # clipping; device-side int16 clipping would break the allclose.
+        np.testing.assert_allclose(got, host, atol=1.5e-4)
+
+        # negative-dominant audio must survive the device roundtrip unclipped
+        y = np.full(500, -0.05, np.float32)
+        y[30], y[60] = 0.1, -0.8       # |min| >> signed max
+        pcm = np.asarray(b._pcm(jnp.asarray(y[None])))[0]
+        deq = pcm.astype(np.float32) / 32767.0
+        np.testing.assert_allclose(deq, y / 0.8 * 0.75, atol=1.01 / 32767.0)
     finally:
         b.close()
 
