@@ -83,6 +83,7 @@ def main():
     # the campaign corpus synthesizes at exactly 2.0 frames/char (measured
     # over 600 utts); 2.1 leaves a hair of margin so escalations stay rare
     ps.add_argument("--fpc_spec", type=float, default=2.1)
+    ps.add_argument("--fpc_safe", type=float, default=2.5)
     ps.add_argument("--out", default="docs/SPECULATIVE.json")
     args = ps.parse_args()
 
@@ -110,33 +111,40 @@ def main():
         cfg, syn, texts, spk, speculative=False,
         frames_buckets=[160], frames_per_char=3.0, min_frames=96,
         repeats=args.repeats)
-    speculative = run_mode(
-        cfg, syn, texts, spk, speculative=True,
-        frames_buckets=[48, 96, 160], frames_per_char=args.fpc_spec,
-        min_frames=24, repeats=args.repeats)
+    # two speculation margins: the aggressive point (fpc_spec, escalations
+    # expected — measures what an escalation costs) and a safe operating
+    # point (fpc_safe, escalations rare — the recommended deployment knob)
+    arms = {}
+    for name, fpc in (("speculative", args.fpc_spec),
+                      ("speculative_safe", args.fpc_safe)):
+        arms[name] = run_mode(
+            cfg, syn, texts, spk, speculative=True,
+            frames_buckets=[48, 96, 160], frames_per_char=fpc,
+            min_frames=24, repeats=args.repeats)
 
     # quality guard: speculation must not shorten the (trimmed) speech.
-    # Identical text+speaker through a longer rollout only appends trailing
-    # silence/garbage that the trim removes, so large negative deltas mean
-    # the completion check passed a truncated decode.
-    dc = conservative.pop("trimmed_durations_s")
-    dsp = speculative.pop("trimmed_durations_s")
-    deltas = [s - c for s, c in zip(dsp, dc)]
-    quality = {
-        "duration_delta_s_min": round(min(deltas), 3),
-        "duration_delta_s_max": round(max(deltas), 3),
-        "duration_delta_s_mean": round(float(np.mean(deltas)), 3),
-        "n_compared": len(deltas),
-    }
+    # Per-request duration lists are KEPT in the artifact: on corpora whose
+    # synthetic tails do not fall trim_db below the peak, the trim is a
+    # no-op and the deltas reflect rollout-length differences, not
+    # truncation — the raw lists let a reader tell the two apart.
+    dc = conservative["trimmed_durations_s"]
+    detail = {"conservative": conservative}
+    for name, arm in arms.items():
+        deltas = [s - c for s, c in zip(arm["trimmed_durations_s"], dc)]
+        arm["quality_guard"] = {
+            "duration_delta_s_min": round(min(deltas), 3),
+            "duration_delta_s_max": round(max(deltas), 3),
+            "duration_delta_s_mean": round(float(np.mean(deltas)), 3),
+            "n_compared": len(deltas),
+        }
+        detail[name] = arm
+    detail["backend"] = jax.default_backend()
     out = {
         "metric": "speculative_solo_latency_p50_ms",
-        "value": speculative["latency_ms_p50"],
+        "value": arms["speculative_safe"]["latency_ms_p50"],
         "unit": "ms",
         "vs_conservative_p50_ms": conservative["latency_ms_p50"],
-        "detail": {"conservative": conservative,
-                   "speculative": speculative,
-                   "quality_guard": quality,
-                   "backend": jax.default_backend()},
+        "detail": detail,
     }
     print(json.dumps(out))
     with open(args.out, "w") as f:

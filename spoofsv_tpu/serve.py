@@ -506,21 +506,27 @@ class BatchingSynthesizer:
         t0 = time.perf_counter()
         escalate: set = set()
         try:
+            import jax.numpy as jnp
+
             audio, _, attn = self._syn_for(frames)(text, spk, key)
+            audio = self._pcm(audio)[:n] if self.device_pcm else audio[:n]
             if self.speculative and frames < self.frames_buckets[-1]:
                 # monotonic attention: the final frame's attended text
                 # position is the furthest reached — a decode that didn't
                 # get within spec_margin of its text's end was cut off by
                 # this rollout length; retry it one bucket up instead of
-                # completing with truncated speech (tiny (n, N) fetch)
-                last_pos = np.asarray(attn[:n, :, -1]).argmax(axis=1)
+                # completing with truncated speech. argmax runs on device
+                # and the (n,) vector rides the SAME device_get as the
+                # audio — a separate fetch costs a full transport
+                # roundtrip (~35 ms through a remote-TPU tunnel), which
+                # at solo-request scale cancels the short-rollout win.
+                last_pos_dev = jnp.argmax(attn[:n, :, -1], axis=1)
+                audio, last_pos = jax.device_get((audio, last_pos_dev))
                 for i, r in enumerate(batch):
                     if last_pos[i] < r.n_valid - 1 - self.spec_margin:
                         escalate.add(i)
-            if self.device_pcm:
-                audio = np.asarray(self._pcm(audio)[:n])   # int16 fetch
             else:
-                audio = np.asarray(audio[:n])
+                audio = np.asarray(audio)
         except BaseException as e:  # noqa: BLE001 - forwarded per-request
             for r in batch:
                 r.error = e
