@@ -36,13 +36,14 @@ import numpy as np  # noqa: E402
 
 
 def run_mode(cfg, syn, texts, spk, *, speculative, frames_buckets,
-             frames_per_char, min_frames, repeats):
+             frames_per_char, min_frames, repeats, attn_trim=None):
     from spoofsv_tpu.serve import BatchingSynthesizer
 
     b = BatchingSynthesizer(
         cfg, syn, max_batch=8, batch_wait_ms=0.0, trim_db=30.0,
         frames_buckets=frames_buckets, frames_per_char=frames_per_char,
-        min_frames=min_frames, speculative=speculative)
+        min_frames=min_frames, speculative=speculative,
+        attn_trim=attn_trim)
     try:
         b.warmup(buckets=[1])
         # one unmeasured pass (post-warmup respecialization, tunnel state)
@@ -84,6 +85,11 @@ def main():
     # over 600 utts); 2.1 leaves a hair of margin so escalations stay rare
     ps.add_argument("--fpc_spec", type=float, default=2.1)
     ps.add_argument("--fpc_safe", type=float, default=2.5)
+    ps.add_argument("--attn_trim", type=int, default=None,
+                    help="attention-gated end trim pad (frames) applied to "
+                         "EVERY arm — durations then measure speech, not "
+                         "rollout, and the quality guard becomes a real "
+                         "truncation meter")
     ps.add_argument("--out", default="docs/SPECULATIVE.json")
     args = ps.parse_args()
 
@@ -110,7 +116,7 @@ def main():
     conservative = run_mode(
         cfg, syn, texts, spk, speculative=False,
         frames_buckets=[160], frames_per_char=3.0, min_frames=96,
-        repeats=args.repeats)
+        repeats=args.repeats, attn_trim=args.attn_trim)
     # two speculation margins: the aggressive point (fpc_spec, escalations
     # expected — measures what an escalation costs) and a safe operating
     # point (fpc_safe, escalations rare — the recommended deployment knob)
@@ -120,7 +126,7 @@ def main():
         arms[name] = run_mode(
             cfg, syn, texts, spk, speculative=True,
             frames_buckets=[48, 96, 160], frames_per_char=fpc,
-            min_frames=24, repeats=args.repeats)
+            min_frames=24, repeats=args.repeats, attn_trim=args.attn_trim)
 
     # quality guard: speculation must not shorten the (trimmed) speech.
     # Per-request duration lists are KEPT in the artifact: on corpora whose
@@ -140,6 +146,7 @@ def main():
         detail[name] = arm
     detail["backend"] = jax.default_backend()
     out = {
+        "attn_trim": args.attn_trim,
         "metric": "speculative_solo_latency_p50_ms",
         "value": arms["speculative_safe"]["latency_ms_p50"],
         "unit": "ms",

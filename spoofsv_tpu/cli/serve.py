@@ -48,6 +48,12 @@ def main(argv=None) -> None:
                          "true speech rate (2.0 on the campaign corpus; "
                          "real speech varies more) for shorter typical "
                          "rollouts")
+    ps.add_argument("--attn_trim", type=int, default=None, metavar="PAD",
+                    help="attention-gated END trim: cut each waveform PAD "
+                         "decoder frames after its decode consumed the text "
+                         "(monotonic-attention completion frame), removing "
+                         "the post-text babble an amplitude trim cannot "
+                         "catch; off by default")
     ps.add_argument("--mesh", type=str, default=None, metavar="N|all",
                     help="data-parallel serving over an N-device mesh")
     ps.add_argument("--max_queue", type=int, default=None,
@@ -88,7 +94,8 @@ def main(argv=None) -> None:
         frames_buckets=[int(x) for x in args.frames_buckets.split(",")]
         if args.frames_buckets else None,
         frames_per_char=args.frames_per_char,
-        max_queue=args.max_queue, speculative=args.speculative)
+        max_queue=args.max_queue, speculative=args.speculative,
+        attn_trim=args.attn_trim)
     if not args.no_warmup:
         print("[serve] warming bucket-ladder compiles "
               f"{batcher._ladder()} ...", flush=True)

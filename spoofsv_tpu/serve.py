@@ -188,7 +188,8 @@ class BatchingSynthesizer:
                  min_frames: int = 96,
                  max_queue: Optional[int] = None,
                  speculative: bool = False,
-                 spec_margin: int = 1):
+                 spec_margin: int = 1,
+                 attn_trim: Optional[int] = None):
         """``frames_buckets``: optional ascending rollout-length ladder (each
         entry ≤ ``cfg.max_frame_num``) — short requests then decode a shorter
         fixed rollout instead of the full ``max_frame_num``, cutting their
@@ -220,7 +221,22 @@ class BatchingSynthesizer:
         correspondingly shorter rollout, and the rare
         under-estimate costs one extra (longer) pass rather than quality.
         The reference has no analog (it always decodes MAX_FRAME_NUM).
-        Escalations surface as ``n_escalated`` in stats."""
+        Escalations surface as ``n_escalated`` in stats.
+
+        ``attn_trim``: attention-gated END trim (opt-in; the int is a pad in
+        decoder frames, e.g. 4). The amplitude trim (``trim_db``, the
+        reference's librosa-style cut) cannot remove post-text BABBLE — the
+        AR decoder keeps emitting sound past the end of the text, and on
+        rollouts longer than the speech that babble stays above any
+        amplitude threshold (measured in docs/SPECULATIVE.json: trimmed
+        duration tracked rollout length, not speech length). With
+        ``attn_trim`` set, the worker computes each request's completion
+        frame — the first decoder frame whose furthest attended text
+        position reaches the text's end (same monotonic-attention criterion
+        as ``speculative``) — on device, rides it on the audio fetch, and
+        cuts the waveform ``attn_trim`` frames after completion before the
+        host trim/cap/normalize. Requests whose decode never completes keep
+        their full rollout (and, with ``speculative``, escalate instead)."""
         assert max_batch >= 1
         self.cfg = cfg
         self.syn = synthesizer
@@ -237,6 +253,8 @@ class BatchingSynthesizer:
         self.min_frames = min_frames
         self.speculative = speculative and len(fb) > 1
         self.spec_margin = spec_margin
+        assert attn_trim is None or attn_trim >= 0
+        self.attn_trim = attn_trim
         self._syn_by_frames = {mf: synthesizer}
         self.batch_wait_s = batch_wait_ms / 1e3
         self.trim_db = trim_db
@@ -505,26 +523,42 @@ class BatchingSynthesizer:
         key = jax.random.PRNGKey(self._batch_counter)
         t0 = time.perf_counter()
         escalate: set = set()
+        keep = None
         try:
             import jax.numpy as jnp
 
             audio, _, attn = self._syn_for(frames)(text, spk, key)
             audio = self._pcm(audio)[:n] if self.device_pcm else audio[:n]
-            if self.speculative and frames < self.frames_buckets[-1]:
-                # monotonic attention: the final frame's attended text
-                # position is the furthest reached — a decode that didn't
-                # get within spec_margin of its text's end was cut off by
-                # this rollout length; retry it one bucket up instead of
-                # completing with truncated speech. argmax runs on device
-                # and the (n,) vector rides the SAME device_get as the
-                # audio — a separate fetch costs a full transport
-                # roundtrip (~35 ms through a remote-TPU tunnel), which
-                # at solo-request scale cancels the short-rollout win.
-                last_pos_dev = jnp.argmax(attn[:n, :, -1], axis=1)
-                audio, last_pos = jax.device_get((audio, last_pos_dev))
-                for i, r in enumerate(batch):
-                    if last_pos[i] < r.n_valid - 1 - self.spec_margin:
-                        escalate.add(i)
+            want_check = self.speculative and frames < self.frames_buckets[-1]
+            if want_check or self.attn_trim is not None:
+                # monotonic attention: a frame's attended text position is
+                # the furthest reached. `done[i, f]` = request i's decode
+                # had consumed its text (within spec_margin ids of the end)
+                # by frame f. Everything below runs on device and rides the
+                # SAME device_get as the audio — a separate fetch costs a
+                # full transport roundtrip (~35 ms through a remote-TPU
+                # tunnel), which at solo scale cancels the short-rollout win.
+                targets = np.asarray([r.n_valid - 1 - self.spec_margin
+                                      for r in batch], np.int32)
+                done = jnp.argmax(attn[:n], axis=1) >= targets[:, None]
+                fetch = [audio]
+                if want_check:
+                    # not consumed by the FINAL frame → this rollout cut the
+                    # decode off; retry one bucket up instead of completing
+                    # with truncated speech
+                    fetch.append(done[:, -1])
+                if self.attn_trim is not None:
+                    # completion frame + pad; never-completed decodes keep
+                    # the full rollout (escalation handles them if enabled)
+                    first = jnp.argmax(done, axis=1) + 1 + self.attn_trim
+                    fetch.append(jnp.where(jnp.any(done, axis=1), first,
+                                           done.shape[1]))
+                out = jax.device_get(tuple(fetch))
+                audio = out[0]
+                if want_check:
+                    escalate.update(i for i in range(n) if not out[1][i])
+                if self.attn_trim is not None:
+                    keep = out[-1]
             else:
                 audio = np.asarray(audio)
         except BaseException as e:  # noqa: BLE001 - forwarded per-request
@@ -547,15 +581,21 @@ class BatchingSynthesizer:
             if i in escalate:
                 continue
             try:
+                raw = audio[i]
+                if keep is not None:
+                    # attention-gated end trim: cut at the completion frame
+                    # (+pad) BEFORE the host trim/cap/normalize, so the
+                    # post-text babble never reaches the amplitude trim
+                    raw = raw[: int(keep[i]) * (raw.shape[-1] // frames)]
                 if self.device_pcm:
                     # device applied range protection only; the reference's
                     # peak normalization happens here, over the final
                     # trim/cap window, exactly like the non-device branch
-                    y = finalize_audio(audio[i].astype(np.float32) / 32767.0,
+                    y = finalize_audio(raw.astype(np.float32) / 32767.0,
                                        self.cfg, trim_db=self.trim_db,
                                        max_seconds=self.max_seconds)
                 else:
-                    y = finalize_audio(audio[i], self.cfg,
+                    y = finalize_audio(raw, self.cfg,
                                        trim_db=self.trim_db,
                                        max_seconds=self.max_seconds)
                 if not np.all(np.isfinite(y)):

@@ -848,3 +848,91 @@ class TestSpeculative:
             assert b.stats_dict()["n_escalated"] == 0
         finally:
             b.close()
+
+
+class TestAttnTrim:
+    """Attention-gated end trim: the waveform is cut attn_trim decoder
+    frames after the completion frame (first frame whose furthest attended
+    position reaches the text end), removing post-text babble the amplitude
+    trim cannot catch (docs/SPECULATIVE.json diagnosis)."""
+
+    def _syn_completing_at(self, cfg, complete_frame):
+        N = cfg.max_text_len
+        hop = cfg.stft.hop_length
+
+        def syn_for(frames):
+            def run(text, spk, key):
+                bsz = text.shape[0]
+                audio = np.full((bsz, frames * hop), 0.1, np.float32)
+                attn = np.zeros((bsz, N, frames), np.float32)
+                if complete_frame is not None and complete_frame < frames:
+                    attn[:, N - 1, complete_frame:] = 1.0
+                return audio, None, attn
+
+            return run
+
+        return syn_for
+
+    @pytest.mark.parametrize("device_pcm", [False, True])
+    def test_cut_at_completion_frame(self, serve_setup, device_pcm):
+        cfg, syn = serve_setup
+        hop = cfg.stft.hop_length
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        attn_trim=1, device_pcm=device_pcm)
+        if device_pcm and not b.device_pcm:
+            pytest.skip("log-feature config: no device PCM path")
+        b._syn_for = self._syn_completing_at(cfg, complete_frame=5)
+        try:
+            y = b.synthesize("abcd", np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            # completion at frame 5 -> keep (5+1) + pad 1 = 7 frames of 8
+            assert len(y) == 7 * hop, (len(y), hop)
+        finally:
+            b.close()
+
+    def test_never_completed_keeps_full_rollout(self, serve_setup):
+        cfg, syn = serve_setup
+        hop = cfg.stft.hop_length
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        attn_trim=0, device_pcm=False)
+        b._syn_for = self._syn_completing_at(cfg, complete_frame=None)
+        try:
+            y = b.synthesize("abcd", np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            assert len(y) == b.frames_buckets[-1] * hop
+        finally:
+            b.close()
+
+    def test_composes_with_speculative_escalation(self, serve_setup):
+        """An incomplete short-bucket decode escalates (speculative), and
+        the retry at the bigger bucket gets the attention cut."""
+        cfg, syn = serve_setup
+        N = cfg.max_text_len
+        hop = cfg.stft.hop_length
+        b = _mk_batcher(cfg, syn, max_batch=4, batch_wait_ms=0.0,
+                        frames_buckets=[4, 8], frames_per_char=0.5,
+                        min_frames=2, speculative=True, attn_trim=0,
+                        device_pcm=False)
+        calls = []
+
+        def syn_for(frames):
+            def run(text, spk, key):
+                bsz = text.shape[0]
+                calls.append(frames)
+                audio = np.full((bsz, frames * hop), 0.1, np.float32)
+                attn = np.zeros((bsz, N, frames), np.float32)
+                if frames >= 8:          # completes at frame 5 of 8 only
+                    attn[:, N - 1, 5:] = 1.0
+                return audio, None, attn
+
+            return run
+
+        b._syn_for = syn_for
+        try:
+            y = b.synthesize("abcd", np.zeros(cfg.spk_emb_dim, np.float32),
+                             timeout=60)
+            assert calls == [4, 8], calls
+            assert b.stats_dict()["n_escalated"] == 1
+            assert len(y) == 6 * hop     # (5+1) + pad 0 of the retry's 8
+        finally:
+            b.close()
