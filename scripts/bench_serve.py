@@ -4,11 +4,12 @@ scheduler (and optionally the HTTP layer) on the live TPU.
 
 Reports achieved throughput (requests/s, audio realtime factor) and latency
 percentiles at a given concurrency — the serving-facing complement of
-bench.py's offline batch number. Random params at reference dims (perf only;
-quality is the campaign's job).
+bench.py's offline batch number. Random params at reference dims by default
+(perf only; quality is the campaign's job); pass --config to load trained
+checkpoints, which a --speculative A/B needs for meaningful attention.
 
 Usage: python scripts/bench_serve.py [--concurrency 32] [--requests 128]
-       [--max_batch 16] [--http]
+       [--max_batch 16] [--http] [--speculative --config <cfg.json>]
 """
 
 from __future__ import annotations
@@ -71,25 +72,54 @@ def main():
     ps.add_argument("--max_queue", type=int, default=None,
                     help="admission bound (default 16*max_batch; the "
                          "--overload run sizes itself 4x over this)")
+    ps.add_argument("--config", type=str, default=None,
+                    help="load TRAINED checkpoints from this config's "
+                         "INFERENCE_* entries instead of random params — "
+                         "required for a meaningful --speculative run "
+                         "(random attention escalates arbitrarily)")
+    ps.add_argument("--texts", type=str, default=None,
+                    help="request-text corpus, one per line (default with "
+                         "--config: <config dir>/texts.txt — the model's own "
+                         "training corpus; Harvard sentences are "
+                         "out-of-distribution for a campaign model and "
+                         "escalate spuriously)")
     args = ps.parse_args()
 
-    cfg = Config()
-    dtype = (jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
-    melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
-                    spk_emb_dim=cfg.spk_emb_dim, text_emb_dim=cfg.text_emb_dim,
-                    freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
-                    dtype=dtype)
-    ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
-                ssrn_dim=cfg.ssrn_dim, dtype=dtype)
     rng = np.random.default_rng(0)
-    text_ex = jnp.asarray(rng.integers(1, cfg.vocab_len - 1,
-                                       (2, cfg.max_text_len)), jnp.int32)
-    spk_ex = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)), jnp.float32)
-    mel_ex = jnp.asarray(rng.uniform(0.05, 0.95, (2, 8, cfg.mel.freq_bins)),
-                         jnp.float32)
-    key = jax.random.PRNGKey(0)
-    p1 = jax.jit(melsyn.init)(key, shift_right(mel_ex), text_ex, spk_ex)
-    p2 = jax.jit(ssrn.init)(key, mel_ex)
+    if args.config:
+        from spoofsv_tpu.cli.main import (apply_runtime_knobs, build_models,
+                                          inference_dtype)
+        from spoofsv_tpu.config import load_config
+        from spoofsv_tpu.utils.checkpoints import load_generator_params
+
+        cfg = load_config(args.config)
+        apply_runtime_knobs(cfg, infer=True)
+        melsyn, ssrn, _, _ = build_models(cfg, "conditional",
+                                          dtype=inference_dtype(cfg))
+        p1 = load_generator_params(cfg.inference_text2mel_model, melsyn, cfg)
+        p2 = load_generator_params(cfg.inference_ssrn_model, ssrn, cfg,
+                                   kind="ssrn")
+    else:
+        cfg = Config()
+        dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                 else jnp.float32)
+        melsyn = MelSyn(vocab_len=cfg.vocab_len, condition=True,
+                        spk_emb_dim=cfg.spk_emb_dim,
+                        text_emb_dim=cfg.text_emb_dim,
+                        freq_bins=cfg.mel.freq_bins, hidden_dim=cfg.hidden_dim,
+                        dtype=dtype)
+        ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
+                    ssrn_dim=cfg.ssrn_dim, dtype=dtype)
+        text_ex = jnp.asarray(rng.integers(1, cfg.vocab_len - 1,
+                                           (2, cfg.max_text_len)), jnp.int32)
+        spk_ex = jnp.asarray(rng.normal(size=(2, cfg.spk_emb_dim)),
+                             jnp.float32)
+        mel_ex = jnp.asarray(rng.uniform(0.05, 0.95,
+                                         (2, 8, cfg.mel.freq_bins)),
+                             jnp.float32)
+        key = jax.random.PRNGKey(0)
+        p1 = jax.jit(melsyn.init)(key, shift_right(mel_ex), text_ex, spk_ex)
+        p2 = jax.jit(ssrn.init)(key, mel_ex)
     syn = Synthesizer(cfg, melsyn, ssrn, p1, p2)
 
     if args.overload:
@@ -113,7 +143,24 @@ def main():
     batcher.warmup()
     print(f"[bench_serve] warmup {time.perf_counter() - t0:.1f}s", flush=True)
 
-    spk = rng.normal(size=(args.concurrency, cfg.spk_emb_dim)).astype(np.float32)
+    texts = SENTENCES
+    texts_path = args.texts or (
+        os.path.join(os.path.dirname(args.config), "texts.txt")
+        if args.config else None)
+    if texts_path and os.path.exists(texts_path):
+        texts = [ln.strip() for ln in open(texts_path) if ln.strip()]
+
+    if args.config and os.path.isdir(cfg.spk_emb_dir):
+        # trained checkpoints get the speakers they were trained on —
+        # speculation's attention-completion check is only meaningful with
+        # in-distribution conditioning
+        embs = sorted(os.listdir(cfg.spk_emb_dir))
+        spk = np.stack(
+            [np.load(os.path.join(cfg.spk_emb_dir, embs[i % len(embs)]))
+             for i in range(args.concurrency)]).astype(np.float32)
+    else:
+        spk = rng.normal(size=(args.concurrency,
+                               cfg.spk_emb_dim)).astype(np.float32)
 
     target = None
     if args.http:
@@ -128,7 +175,7 @@ def main():
         def call(i, s):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/synthesize",
-                data=json.dumps({"text": SENTENCES[i % len(SENTENCES)],
+                data=json.dumps({"text": texts[i % len(texts)],
                                  "spk_emb": s.tolist()}).encode(),
                 headers={"Content-Type": "application/json"})
             try:
@@ -144,7 +191,7 @@ def main():
 
         def call(i, s):
             try:
-                return len(batcher.synthesize(SENTENCES[i % len(SENTENCES)],
+                return len(batcher.synthesize(texts[i % len(texts)],
                                               s, timeout=600))
             except ServerOverloaded:
                 return None   # shed
