@@ -94,6 +94,12 @@ class TPUConfig:
     # distribution and real trained-TTS magnitudes: advance reaches
     # random-init-64-iteration spectral convergence in 24 iterations and
     # beats it at 32 — see griffin_lim_iters above (docs/PARITY.md).
+    # "spsi" = advance refined with per-bin instantaneous frequencies from
+    # quadratic log-magnitude interpolation (SPSI, Beauregard et al. 2015;
+    # jaxdsp.gl_spsi_angles — deterministic, falls back to advance exactly
+    # on structureless spectra). Measured on real-audio magnitudes it
+    # reaches advance-24 spectral convergence in 16 iterations
+    # (scripts/exp_gl_init.py; trained-TTS validation in docs/PARITY.md).
     griffin_lim_init: str = "advance"
     # AR decoder implementation: "scan" = lax.scan of cached decode steps
     # (infer/decode.py), "pallas" = fused whole-rollout kernel with

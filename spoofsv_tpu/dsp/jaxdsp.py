@@ -199,6 +199,61 @@ def gl_advance_angles(t_frames: int, freq_bins: int, n_fft: int,
     return jnp.cos(phase).astype(dtype), jnp.sin(phase).astype(dtype)
 
 
+def gl_if_deltas(mag: jnp.ndarray) -> jnp.ndarray:
+    """Per-bin fractional-frequency offsets from quadratic log-magnitude
+    interpolation (the SPSI frequency estimator, Beauregard et al. 2015).
+
+    For a Hann-windowed sinusoid the log-magnitude is near-parabolic across
+    the mainlobe, so the parabola through ``(k-1, k, k+1)`` locates the true
+    frequency ``k + δ`` from any bin inside the lobe — not just the peak.
+    Offsets are only trusted where the triple is concave (a real lobe);
+    flat/convex regions fall back to ``δ = 0``, i.e. the plain advance init.
+
+    ``mag``: ``(..., T, F)`` → ``δ ∈ [-0.5, 0.5]`` same shape, f32.
+    """
+    logm = jnp.log(jnp.maximum(mag.astype(jnp.float32), 1e-10))
+    pad = [(0, 0)] * (logm.ndim - 1) + [(1, 1)]
+    lm = jnp.pad(logm, pad, mode="edge")
+    a, b, c = lm[..., :-2], logm, lm[..., 2:]
+    denom = a - 2.0 * b + c
+    concave = denom < -1e-6
+    delta = jnp.where(concave, 0.5 * (a - c) / jnp.where(concave, denom, -1.0),
+                      0.0)
+    return jnp.clip(delta, -0.5, 0.5)
+
+
+def gl_spsi_angles(mag: jnp.ndarray, n_fft: int, hop_length: int,
+                   lock: float = 1.0, dtype=jnp.float32
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Magnitude-aware Griffin-Lim phase init (SPSI-style instantaneous
+    frequency, refining :func:`gl_advance_angles`).
+
+    The advance init assumes every bin carries a sinusoid at its *center*
+    frequency; here each bin's frequency is refined to ``2π(k+δ)/N`` with
+    ``δ`` from :func:`gl_if_deltas`, accumulated over frames. Split for f32
+    accuracy: the integer-bin part is the exact-int-mod advance phase, the
+    fractional part is ``2π·(hop/N)·cumsum_t(δ)`` (≤ ~1e3 rad over a full
+    rollout — f32-safe), wrapped to cycles before cos/sin. ``lock`` scales
+    the SPSI mainlobe phase-locking term ``+πδ(N−1)/N`` (the cross-bin phase
+    slope of a symmetric window's transform; 0 disables).
+
+    ``mag``: ``(..., T, F)`` → ``(cos φ, sin φ)`` same shape.
+    """
+    T, F = mag.shape[-2], mag.shape[-1]
+    delta = gl_if_deltas(mag)
+    # exclusive cumsum: frame 0 keeps phase 0 (+ lock), matching advance
+    cyc = jnp.cumsum(delta, axis=-2) - delta
+    cyc = cyc * np.float32(hop_length / n_fft)
+    frac = (cyc - jnp.round(cyc)) * np.float32(2.0 * np.pi)
+    if lock:
+        frac = frac + delta * np.float32(lock * np.pi * (n_fft - 1) / n_fft)
+    b_re, b_im = gl_advance_angles(T, F, n_fft, hop_length)
+    c_f, s_f = jnp.cos(frac), jnp.sin(frac)
+    re = b_re * c_f - b_im * s_f
+    im = b_re * s_f + b_im * c_f
+    return re.astype(dtype), im.astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "hop_length", "win_length", "n_iter", "use_matmul", "precision"))
 def griffin_lim(mag: jnp.ndarray, key: jax.Array, n_fft: int, hop_length: int,

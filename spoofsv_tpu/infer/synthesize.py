@@ -77,6 +77,8 @@ def make_vocoder(cfg: Config, n_iter: Optional[int] = None):
                     spec.shape[1], spec.shape[2], n_fft, hop)
                 ia = (jnp.broadcast_to(a_re, spec.shape),
                       jnp.broadcast_to(a_im, spec.shape))
+            elif init_mode == "spsi":
+                ia = jaxdsp.gl_spsi_angles(spec, n_fft, hop)
             audio = jaxdsp.griffin_lim(spec, key, n_fft, hop, n_fft,
                                        n_iter=n_iter, precision=precision,
                                        init_angles=ia)

@@ -119,11 +119,15 @@ def _tiles_of(Tp: int):
     return out
 
 
-def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
-               fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
-               wvec, invw_l, invw_r, flip, ana, sedge, eana, sig, *extra,
+def _gl_kernel(seed_ref, mag_ref, *refs,
                n_fft: int, hop: int, T: int, Tp: int, n_iter: int,
                momentum: float, R: int, int8_fwd: bool, init_mode: str):
+    if init_mode == "external":
+        extre_ref, extim_ref = refs[:2]
+        refs = refs[2:]
+    (angre_ref, angim_ref, audio_ref,
+     fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
+     wvec, invw_l, invw_r, flip, ana, sedge, eana, sig, *extra) = refs
     N = n_fft
     F = N // 2 + 1
     Fa = F - 1            # MXU-aligned bin count; Nyquist handled rank-1
@@ -228,6 +232,14 @@ def _gl_kernel(seed_ref, mag_ref, angre_ref, angim_ref, audio_ref,
         for ri in range(R):
             angre_ref[ri] = a_re
             angim_ref[ri] = a_im
+    elif init_mode == "external":
+        # host/XLA-computed init (e.g. the SPSI instantaneous-frequency init,
+        # jaxdsp.gl_spsi_angles): one extra HBM read of the angle pair — the
+        # iteration loop touches that footprint ~8x per iteration, so the
+        # input cost is noise against the iterations it saves.
+        for ri in range(R):
+            angre_ref[ri] = extre_ref[ri]
+            angim_ref[ri] = extim_ref[ri]
     else:
         # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32
         # wrap-around multiplies + logical shifts give identical bits)
@@ -458,7 +470,9 @@ def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Ar
 def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                     hop: int, n_iter: int, momentum: float,
                     interpret: bool, int8_fwd: bool,
-                    init_mode: str = "random") -> Tuple[jax.Array, jax.Array]:
+                    init_mode: str = "random",
+                    init_angles: Optional[Tuple[jax.Array, jax.Array]] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
     B, T, F = mag_bf16.shape
     # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
     # loops full TT tiles plus one short remainder tile
@@ -470,6 +484,13 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     Bp = -(-B // R) * R
     mag_p = jnp.pad(mag_bf16, ((0, Bp - B), (0, Tp - T), (0, 0)))
     seeds = jnp.pad(seeds, ((0, Bp - B),))
+    ext_inputs = ()
+    if init_mode == "external":
+        assert init_angles is not None
+        ext_inputs = tuple(
+            jnp.pad(a.astype(jnp.bfloat16), ((0, Bp - B), (0, Tp - T), (0, 0)),
+                    constant_values=1.0 if i == 0 else 0.0)
+            for i, a in enumerate(init_angles))
     N = n_fft
 
     kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
@@ -515,7 +536,9 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bp // R,),
-        in_specs=[vspec((R, Tp, F), lambda b, sref: (b, 0, 0))],
+        in_specs=[vspec((R, Tp, F), lambda b, sref: (b, 0, 0))]
+        + [vspec((R, Tp, F), lambda b, sref: (b, 0, 0))
+           for _ in ext_inputs],
         out_specs=(vspec((R, Tp, F), lambda b, sref: (b, 0, 0)),
                    vspec((R, Tp, F), lambda b, sref: (b, 0, 0)),
                    vspec((R, T - 1, hop), lambda b, sref: (b, 0, 0))),
@@ -532,7 +555,7 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
                    jax.ShapeDtypeStruct((Bp, T - 1, hop), jnp.float32)),
         interpret=interpret,
         **kw,
-    )(seeds, mag_p)
+    )(seeds, mag_p, *ext_inputs)
     return (ang_re[:B, :T, :], ang_im[:B, :T, :],
             audio[:B].reshape(B, hop * (T - 1)))
 
@@ -580,6 +603,8 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
             a_re, a_im = jaxdsp.gl_advance_angles(T, F, n_fft, hop_length)
             ia = (jnp.broadcast_to(a_re, mag.shape),
                   jnp.broadcast_to(a_im, mag.shape))
+        elif init_mode == "spsi":
+            ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop_length)
         return jaxdsp.griffin_lim(mag, key, n_fft, hop_length, win_length,
                                   n_iter=n_iter, momentum=momentum,
                                   use_matmul=use_matmul, precision=precision,
@@ -589,8 +614,14 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
     del use_matmul  # only the XLA fallback path distinguishes backends
     if seeds is None:
         seeds = gl_seeds(key, B)
+    ia = None
+    if init_mode == "spsi":
+        # the IF estimate + cumsum is cheap XLA work outside the kernel;
+        # the kernel just consumes the resulting angle pair
+        ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop_length)
+        init_mode = "external"
     _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
                                   n_fft, hop_length, n_iter, momentum,
                                   bool(interpret), bool(int8_fwd),
-                                  init_mode=init_mode)
+                                  init_mode=init_mode, init_angles=ia)
     return audio

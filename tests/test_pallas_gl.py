@@ -178,6 +178,47 @@ class TestFusedGriffinLim:
         e_adv = _spectral_err(a1, mag)
         assert e_adv < e_rand + 0.02, (e_adv, e_rand)
 
+    def test_spsi_init_matches_xla(self):
+        """init_mode='spsi': the kernel consumes externally computed
+        gl_spsi_angles, so one projection step matches the XLA path fed the
+        same angles."""
+        mag = _test_mag(2, 40, seed=11)
+        ia = jaxdsp.gl_spsi_angles(mag, NFFT, HOP)
+        a_x = jaxdsp.griffin_lim(mag, jax.random.PRNGKey(0), NFFT, HOP, NFFT,
+                                 n_iter=1, momentum=0.0, use_matmul=True,
+                                 precision=jax.lax.Precision.DEFAULT,
+                                 init_angles=ia)
+        a_f = griffin_lim_fused(mag, jax.random.PRNGKey(0), NFFT, HOP, NFFT,
+                                n_iter=1, momentum=0.0, interpret=True,
+                                init_mode="spsi")
+        assert _rel_l2(a_f, a_x) < 0.03
+
+    def test_spsi_quality_beats_advance_at_low_iters(self):
+        """The instantaneous-frequency init converges faster on harmonic
+        audio: measured spsi@4 ≈ half the spectral error of advance@24 on
+        this distribution, and GL16-spsi == GL24-advance == random-64 on
+        real-audio magnitudes (scripts/exp_gl_init.py). Pin the weak form."""
+        mag = _test_mag(2, 80, seed=12)
+        key = jax.random.PRNGKey(0)
+        e = {}
+        for mode, it in (("advance", 8), ("spsi", 8)):
+            a = griffin_lim_fused(mag, key, NFFT, HOP, NFFT, n_iter=it,
+                                  interpret=True, init_mode=mode)
+            e[mode] = _spectral_err(a, mag)
+        assert e["spsi"] < e["advance"] + 0.005, e
+
+    def test_spsi_angles_flat_falls_back_to_advance(self):
+        """Structureless (flat) magnitudes have no concave log-mag triples,
+        so every δ gates to 0 and the SPSI init degenerates to the plain
+        advance init exactly."""
+        mag = jnp.full((1, 30, 513), 0.25, jnp.float32)
+        re, im = jaxdsp.gl_spsi_angles(mag, NFFT, HOP)
+        b_re, b_im = jaxdsp.gl_advance_angles(30, 513, NFFT, HOP)
+        np.testing.assert_allclose(np.asarray(re[0]), np.asarray(b_re),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(im[0]), np.asarray(b_im),
+                                   atol=1e-6)
+
     def test_vocoder_honors_init_knob(self):
         """make_vocoder routes Config.tpu.griffin_lim_init to the GL call:
         'advance' output is key-independent, 'random' is not."""
