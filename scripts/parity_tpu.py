@@ -174,7 +174,9 @@ def _campaign_setup(B):
     from spoofsv_tpu.data.text import encode_texts
     from spoofsv_tpu.utils.checkpoints import load_generator_params
 
-    root = os.path.join(os.path.dirname(os.path.dirname(OUT)), "_campaign")
+    root = os.environ.get(
+        "SPOOFSV_CAMPAIGN_ROOT",
+        os.path.join(os.path.dirname(os.path.dirname(OUT)), "_campaign"))
     cfg = Config.from_reference_dict(
         json.load(open(os.path.join(root, "config.json"))))
     txts = sorted(glob.glob(os.path.join(cfg.data_root_dir, "txt", "*",
