@@ -103,13 +103,17 @@ def gl_parity(B, rng):
     T = cfg.max_frame_num * cfg.mel.reduction   # 1300 frames
     F = n_fft // 2 + 1
     n_iter = cfg.tpu.griffin_lim_iters
+    init = cfg.tpu.griffin_lim_init        # production init (advance | spsi)
 
     a_re, a_im = jaxdsp.gl_advance_angles(T, F, n_fft, hop)
 
     @jax.jit
     def xla_gl(mag):
-        ia = (jnp.broadcast_to(a_re, mag.shape),
-              jnp.broadcast_to(a_im, mag.shape))
+        if init == "spsi":
+            ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop)
+        else:
+            ia = (jnp.broadcast_to(a_re, mag.shape),
+                  jnp.broadcast_to(a_im, mag.shape))
         return jaxdsp.griffin_lim(mag, jax.random.PRNGKey(0), n_fft, hop,
                                   n_fft, n_iter=n_iter, use_matmul=True,
                                   init_angles=ia)
@@ -117,13 +121,13 @@ def gl_parity(B, rng):
     @jax.jit
     def fused_bf16(mag):
         return griffin_lim_fused(mag, jax.random.PRNGKey(0), n_fft, hop,
-                                 n_fft, n_iter=n_iter, init_mode="advance")
+                                 n_fft, n_iter=n_iter, init_mode=init)
 
     @jax.jit
     def fused_int8(mag):
         return griffin_lim_fused(mag, jax.random.PRNGKey(0), n_fft, hop,
                                  n_fft, n_iter=n_iter, int8_fwd=True,
-                                 init_mode="advance")
+                                 init_mode=init)
 
     results = {}
     for name, mag_np in mag_distributions(B, T, F, rng).items():
@@ -151,7 +155,7 @@ def gl_parity(B, rng):
               f"int8={sc_int8:.4f}", flush=True)
         assert abs(results[name]["sc_delta_bf16"]) < SC_DELTA_MAX, results[name]
         assert abs(results[name]["sc_delta_int8"]) < SC_DELTA_MAX, results[name]
-    return {"batch": B, "frames": T, "gl_iters": n_iter, "init": "advance",
+    return {"batch": B, "frames": T, "gl_iters": n_iter, "init": init,
             "distributions": results,
             "sc_delta_threshold": SC_DELTA_MAX}
 
