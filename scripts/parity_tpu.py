@@ -270,7 +270,13 @@ def decode_parity(B, rng):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 16
+    # --gl-only: refresh only the Griffin-Lim leg in-place (the decode leg
+    # requires the trained campaign checkpoint, which a fresh workspace
+    # does not have) — used to re-pin GL parity after a production vocoder
+    # default change without regenerating the whole campaign.
+    gl_only = "--gl-only" in sys.argv
     backend = jax.default_backend()
     if backend != "tpu":
         print(f"[parity_tpu] WARNING: backend is {backend!r}, not tpu — "
@@ -280,8 +286,15 @@ def main():
         "backend": backend,
         "device": str(jax.devices()[0]),
         "griffin_lim": gl_parity(B, rng),
-        "decode": decode_parity(B, rng),
     }
+    if gl_only:
+        prior = json.load(open(OUT)) if os.path.isfile(OUT) else {}
+        assert prior.get("backend") == backend, \
+            "refusing to mix GL/decode legs from different backends"
+        prior.update(art)
+        art = prior
+    else:
+        art["decode"] = decode_parity(B, rng)
     with open(OUT, "w") as f:
         json.dump(art, f, indent=1)
     print(f"[parity_tpu] wrote {OUT}", flush=True)

@@ -65,16 +65,22 @@ class TPUConfig:
     bucket_text: Tuple[int, ...] = (60, 100, 140, 186)
     decode_frames: int = 325           # fixed AR rollout length (MAX_FRAME_NUM)
     # GL iteration count. The reference runs 64 random-init iterations
-    # (synthesize.py:144); the production default here is 24 iterations from
-    # the vocoder-consistent "advance" init below, which measures spectral
-    # convergence EQUAL to random-init-64 on every tested input distribution
-    # (real-wav power-renormed mags, trained-TTS mags, fused int8 kernel
-    # path — docs/PARITY.md) at 2x the speed, and reproduces the campaign's
-    # tri-system verification metrics within noise vs advance-32
-    # (scripts/gl24_check.py, docs/CAMPAIGN.md). advance-32 measures strictly
-    # better spectrally; reference behavior:
+    # (synthesize.py:144); the production default here is 16 iterations from
+    # the SPSI instantaneous-frequency "spsi" init below, which on trained-
+    # checkpoint magnitudes (short/median/long sentence buckets, bf16 and
+    # int8 fused-kernel paths alike) measures spectral convergence strictly
+    # BETTER than the previous advance-24 default on every bucket, and
+    # closer to the reference's random-64 than advance-24 was (≤0.004 vs
+    # ≤0.014 behind — docs/GL_SPSI_CHECK.json, scripts/gl_init_check.py).
+    # Lineage: the
+    # advance-24 step was additionally validated at campaign level
+    # (tri-system verification metrics within noise, scripts/gl24_check.py,
+    # docs/CAMPAIGN.md), establishing that spectral convergence on these
+    # magnitudes predicts the verification metrics; the spsi-16 campaign
+    # re-score script is scripts/gl_spsi_check.py (run after any campaign).
+    # Reference behavior:
     # {"TPU": {"griffin_lim_iters": 64, "griffin_lim_init": "random"}}.
-    griffin_lim_iters: int = 24
+    griffin_lim_iters: int = 16
     # DFT-matmul precision for Griffin-Lim: "default" (1-pass bf16 MXU) is
     # 1.6x faster than "highest" (3-pass fp32) with measurably identical
     # spectral convergence (0.0515 vs 0.0517 rel err at 64 iters) — GL's
@@ -99,8 +105,9 @@ class TPUConfig:
     # jaxdsp.gl_spsi_angles — deterministic, falls back to advance exactly
     # on structureless spectra). Measured on real-audio magnitudes it
     # reaches advance-24 spectral convergence in 16 iterations
-    # (scripts/exp_gl_init.py; trained-TTS validation in docs/PARITY.md).
-    griffin_lim_init: str = "advance"
+    # (scripts/exp_gl_init.py; trained-TTS validation in docs/PARITY.md and
+    # docs/GL_SPSI_CHECK.json — spsi@16 beats advance@24 on every bucket).
+    griffin_lim_init: str = "spsi"
     # AR decoder implementation: "scan" = lax.scan of cached decode steps
     # (infer/decode.py), "pallas" = fused whole-rollout kernel with
     # VMEM-resident weights + circular ring caches (ops/pallas_decode.py),

@@ -146,3 +146,35 @@ def test_parity_tpu_artifact():
     for name, r in dec["distributions"].items():
         assert r["mel_maxabs"] < dec["mel_threshold"], (name, r)
         assert r["attn_maxabs"] < dec["attn_threshold"], (name, r)
+
+
+def test_gl_spsi_artifact():
+    """The committed trained-checkpoint GL-init artifact
+    (docs/GL_SPSI_CHECK.json, written by scripts/gl_init_check.py on the
+    live chip) must keep supporting the production default
+    (griffin_lim_init='spsi', 16 iters): strictly better spectral
+    convergence than the prior advance-24 default on EVERY sentence bucket,
+    within 0.005 of the reference's random-64, and the fused bf16/int8
+    kernel paths within 1e-3 of the XLA number at spsi-16. A hand-edit or a
+    re-run that breaks any of these must fail here loudly."""
+    import json
+    import os
+
+    from spoofsv_tpu.config import Config
+
+    cfg = Config().tpu
+    assert (cfg.griffin_lim_init, cfg.griffin_lim_iters) == ("spsi", 16)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "GL_SPSI_CHECK.json")
+    art = json.load(open(path))
+    assert art["backend"] == "tpu", art["backend"]
+    combos = art["combos"]
+    buckets = ["short_sentences", "median_sentences", "long_sentences"]
+    for b in buckets:
+        spsi16 = combos["spsi@16"][b]
+        assert spsi16 < combos["advance@24"][b], (b, combos)
+        assert spsi16 < combos["random@64"][b] + 0.005, (b, combos)
+        # fused production kernels track the XLA spsi-16 number
+        for k in ("spsi16_bf16", "spsi16_int8"):
+            assert abs(art["fused_candidate"][k][b] - spsi16) < 1e-3, (k, b)

@@ -60,8 +60,15 @@ class TestDataParallelSynthesizer:
                                    atol=2e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(at0), np.asarray(at1),
                                    atol=2e-5, rtol=1e-4)
-        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1),
-                                   atol=5e-4, rtol=1e-3)
+        # audio bound is looser than mel/attn: the production default GL
+        # init (spsi) computes starting phases from the magnitudes (frame
+        # cumsum), integrating the ~2e-5 per-shard conv vectorization noise
+        # — GL then converges to a marginally different (equally valid)
+        # phase solution (same rationale as the dedicated spsi shard_map
+        # test below; observed max |Δ| ≈ 1.8e-3 at 3 iters).
+        a0n, a1n = np.asarray(a0), np.asarray(a1)
+        np.testing.assert_allclose(a0n, a1n, atol=1e-2)
+        assert np.median(np.abs(a0n - a1n)) < 5e-3
 
     def test_shard_map_fused_kernels_match_single_device(self):
         """The fused Pallas decode + GL kernels under a mesh: Synthesizer
@@ -95,10 +102,12 @@ class TestDataParallelSynthesizer:
         # the same — bound the amplified noise rather than demand bitwise
         a0n, a1n = np.asarray(a0), np.asarray(a1)
         # (4e-2: with the advance-init default the 3-iter GL trajectory
-        # amplifies the conv noise marginally more — 38/63k samples sat just
-        # above the old 2e-2 bound at max 0.024)
+        # amplified the conv noise marginally more — 38/63k samples sat just
+        # above the old 2e-2 bound at max 0.024; the spsi production default
+        # additionally folds the noise into the starting phases, lifting the
+        # median to the same ~5e-3 scale as the dedicated spsi test below)
         np.testing.assert_allclose(a0n, a1n, atol=4e-2)
-        assert np.median(np.abs(a0n - a1n)) < 2e-4
+        assert np.median(np.abs(a0n - a1n)) < 5e-3
 
     def test_shard_map_spsi_init_matches_single_device(self):
         """griffin_lim_init='spsi' under the shard_map DP pipeline: the init
