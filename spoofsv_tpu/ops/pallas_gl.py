@@ -560,6 +560,91 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
             audio[:B].reshape(B, hop * (T - 1)))
 
 
+def _spsi_angles_kernel(mag_ref, re_ref, im_ref, *,
+                        n_fft: int, hop: int, Tp: int, lock: float):
+    """Per-utterance SPSI angle init entirely in VMEM (one grid step = one
+    row). Mirrors :func:`spoofsv_tpu.dsp.jaxdsp.gl_spsi_angles` bit-for-bit
+    in structure — f32 log/parabola/cumsum (only the cumsum association
+    order differs: log-shift doubling here vs XLA's scan) — but with ~6x
+    less HBM traffic: the XLA init is HBM-bound at bench shapes (~100 ms at
+    B=768/T=1300 on v5e, 75 ms of it the (B,T,F) f32 cumsum's log passes),
+    while this kernel reads mag once and writes the bf16 angle pair."""
+    N = n_fft
+    F = N // 2 + 1
+    f32 = jnp.float32
+    m = mag_ref[0].astype(f32)
+    logm = jnp.log(jnp.maximum(m, f32(1e-10)))
+    # edge-replicated frequency neighbors (lane-dim shifts via concat; the
+    # operands share sublane offset 0, which Mosaic's lane concat requires)
+    a = jnp.concatenate([logm[:, :1], logm[:, : F - 1]], axis=1)   # k-1
+    c = jnp.concatenate([logm[:, 1:], logm[:, F - 1:]], axis=1)    # k+1
+    denom = a - 2.0 * logm + c
+    concave = denom < f32(-1e-6)
+    delta = jnp.where(concave,
+                      f32(0.5) * (a - c) / jnp.where(concave, denom, f32(-1.0)),
+                      f32(0.0))
+    delta = jnp.clip(delta, -0.5, 0.5)
+    # inclusive cumsum over frames (sublanes) by shift doubling — log2(Tp)
+    # VMEM passes instead of XLA's HBM passes
+    cum = delta
+    s = 1
+    while s < Tp:
+        cum = cum + jnp.concatenate(
+            [jnp.zeros((s, F), f32), cum[: Tp - s]], axis=0)
+        s *= 2
+    cyc = (cum - delta) * f32(hop / N)        # exclusive: frame 0 at phase 0
+    frac = (cyc - jnp.round(cyc)) * f32(2.0 * np.pi)
+    if lock:
+        frac = frac + delta * f32(lock * np.pi * (N - 1) / N)
+    # advance base φ[t,k] = 2π·hop·k·t/N via exact int mod (advance branch
+    # of _gl_kernel / jaxdsp.gl_advance_angles)
+    tt_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 0)
+    kk_ = jax.lax.broadcasted_iota(jnp.int32, (Tp, F), 1)
+    hk = (kk_ * jnp.int32(hop)) % jnp.int32(N)
+    phase = ((tt_ * hk) % jnp.int32(N)).astype(f32) * f32(2.0 * np.pi / N)
+    b_re, b_im = jnp.cos(phase), jnp.sin(phase)
+    c_f, s_f = jnp.cos(frac), jnp.sin(frac)
+    re_ref[0] = (b_re * c_f - b_im * s_f).astype(jnp.bfloat16)
+    im_ref[0] = (b_re * s_f + b_im * c_f).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "lock",
+                                             "interpret"))
+def gl_spsi_angles_fused(mag: jax.Array, n_fft: int, hop_length: int,
+                         lock: float = 1.0,
+                         interpret: Optional[bool] = None
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Pallas version of :func:`spoofsv_tpu.dsp.jaxdsp.gl_spsi_angles`
+    (bf16 outputs — what the fused GL kernel consumes anyway).
+
+    ``mag``: ``(B, T, F)`` f32 → ``(cos φ, sin φ)`` bf16, same shape."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, F = mag.shape
+    assert F == n_fft // 2 + 1, (F, n_fft)
+    Tp = -(-T // 16) * 16
+    mag_p = jnp.pad(mag.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, 0)))
+
+    def vspec(block, idx):
+        return pl.BlockSpec(block, idx,
+                            **({"memory_space": _VMEM}
+                               if (_VMEM and not interpret) else {}))
+
+    kernel = functools.partial(_spsi_angles_kernel, n_fft=n_fft,
+                               hop=hop_length, Tp=Tp, lock=lock)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[vspec((1, Tp, F), lambda b: (b, 0, 0))],
+        out_specs=(vspec((1, Tp, F), lambda b: (b, 0, 0)),
+                   vspec((1, Tp, F), lambda b: (b, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16)),
+        interpret=interpret,
+    )(mag_p)
+    return re[:, :T, :], im[:, :T, :]
+
+
 def gl_seeds(key: jax.Array, b: int) -> jax.Array:
     """The (B,) int32 phase-init seeds ``griffin_lim_fused`` derives from a
     key — exposed so data-parallel callers (shard_map) can draw them
@@ -616,9 +701,17 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
         seeds = gl_seeds(key, B)
     ia = None
     if init_mode == "spsi":
-        # the IF estimate + cumsum is cheap XLA work outside the kernel;
-        # the kernel just consumes the resulting angle pair
-        ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop_length)
+        # the IF estimate + cumsum runs as its own VMEM-resident Pallas
+        # kernel on TPU (the XLA version is HBM-bound: ~100 ms at bench
+        # shapes, 75 ms of it the (B,T,F) cumsum) — the GL kernel then
+        # consumes the angle pair through the external-init path. Interpret
+        # mode (CPU) keeps the XLA angles: same math, and the interpreter
+        # would be the slow path there.
+        if interpret:
+            ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop_length)
+        else:
+            ia = gl_spsi_angles_fused(mag.astype(jnp.float32), n_fft,
+                                      hop_length)
         init_mode = "external"
     _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
                                   n_fft, hop_length, n_iter, momentum,

@@ -207,6 +207,24 @@ class TestFusedGriffinLim:
             e[mode] = _spectral_err(a, mag)
         assert e["spsi"] < e["advance"] + 0.005, e
 
+    def test_spsi_angles_kernel_matches_xla(self):
+        """The VMEM-resident SPSI angle kernel (gl_spsi_angles_fused) must
+        reproduce jaxdsp.gl_spsi_angles: same f32 log/parabola math; only
+        the cumsum association order differs (shift-doubling vs XLA scan),
+        plus the bf16 output cast — bound both, and pin the phase agreement
+        (re·re' + im·im' = cos Δφ ≈ 1) which is what GL actually consumes."""
+        from spoofsv_tpu.ops.pallas_gl import gl_spsi_angles_fused
+
+        mag = _test_mag(3, 70, seed=21)
+        re_x, im_x = jaxdsp.gl_spsi_angles(mag, NFFT, HOP)
+        re_k, im_k = gl_spsi_angles_fused(mag, NFFT, HOP, interpret=True)
+        re_k = np.asarray(re_k, np.float32)
+        im_k = np.asarray(im_k, np.float32)
+        np.testing.assert_allclose(re_k, np.asarray(re_x), atol=2e-2)
+        np.testing.assert_allclose(im_k, np.asarray(im_x), atol=2e-2)
+        cos_dphi = re_k * np.asarray(re_x) + im_k * np.asarray(im_x)
+        assert float(np.min(cos_dphi)) > 0.999, float(np.min(cos_dphi))
+
     def test_spsi_angles_flat_falls_back_to_advance(self):
         """Structureless (flat) magnitudes have no concave log-mag triples,
         so every δ gates to 0 and the SPSI init degenerates to the plain
