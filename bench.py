@@ -135,11 +135,43 @@ def main() -> None:
         audio_seconds = audio.shape[0] * audio.shape[1] / cfg.sampling_rate
         return audio_seconds / dt / n_chips, audio_seconds, dt
 
-    # headline: production vocoder config (GL16 spsi by default)
-    syn = Synthesizer(cfg, melsyn, ssrn, melsyn_params, ssrn_params,
-                      n_frames=T, gl_iters=cfg.tpu.griffin_lim_iters,
-                      mesh=mesh)
-    rtf_per_chip, audio_seconds, dt = measure(syn)
+    # headline: production vocoder config (GL16 spsi by default). If the
+    # production config fails non-transiently (e.g. a kernel compile error —
+    # r4 lost its round number to a VMEM OOM here), fall back through
+    # known-good vocoder configs and report the number with a loud
+    # "degraded" flag instead of losing the round entirely.
+    import dataclasses
+
+    candidates = [("production", cfg)]
+    if (cfg.tpu.griffin_lim_init, cfg.tpu.griffin_lim_iters) != ("advance", 24):
+        candidates.append(("advance24_fused", cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, griffin_lim_init="advance", griffin_lim_iters=24))))
+    candidates.append(("random64_xla", cfg.replace(tpu=dataclasses.replace(
+        cfg.tpu, griffin_lim_init="random", griffin_lim_iters=64,
+        griffin_lim_impl="xla"))))
+
+    degraded = None
+    last_err = None
+    for name, c in candidates:
+        syn = Synthesizer(c, melsyn, ssrn, melsyn_params, ssrn_params,
+                          n_frames=T, gl_iters=c.tpu.griffin_lim_iters,
+                          mesh=mesh)
+        try:
+            rtf_per_chip, audio_seconds, dt = measure(syn)
+            if name != "production":
+                degraded = (f"production vocoder config failed "
+                            f"({type(last_err).__name__}: "
+                            f"{str(last_err)[:300]}); measured {name}")
+            cfg = c
+            break
+        except Exception as e:  # noqa: BLE001 - report, then fall back
+            if "UNAVAILABLE" in str(e):
+                raise       # transient tunnel error: let the outer retry run
+            print(f"[bench] vocoder config '{name}' failed: {e}",
+                  file=sys.stderr)
+            last_err = e
+    else:
+        raise last_err
 
     # like-for-like reference mode: random-init 64-iteration Griffin-Lim
     # (what the reference's librosa vocoder computes, and what r1/r2
@@ -147,13 +179,14 @@ def main() -> None:
     # config.
     gl64_rtf = None
     if (cfg.tpu.griffin_lim_iters, cfg.tpu.griffin_lim_init) != (64, "random"):
-        import dataclasses
-
         cfg64 = cfg.replace(
             tpu=dataclasses.replace(cfg.tpu, griffin_lim_init="random"))
         syn64 = Synthesizer(cfg64, melsyn, ssrn, melsyn_params, ssrn_params,
                             n_frames=T, gl_iters=64, mesh=mesh)
-        gl64_rtf, _, _ = measure(syn64)
+        try:
+            gl64_rtf, _, _ = measure(syn64)
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            print(f"[bench] gl64 reference leg failed: {e}", file=sys.stderr)
 
     target = 50.0
     print(json.dumps({
@@ -172,6 +205,7 @@ def main() -> None:
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "n_chips": n_chips,
+            "degraded": degraded,
         },
     }))
 

@@ -288,13 +288,31 @@ def main():
         "griffin_lim": gl_parity(B, rng),
     }
     if gl_only:
-        prior = json.load(open(OUT)) if os.path.isfile(OUT) else {}
+        if not os.path.isfile(OUT):
+            sys.exit(f"[parity_tpu] --gl-only refreshes a leg of an existing "
+                     f"{OUT}, which does not exist here — run without "
+                     f"--gl-only first (needs the campaign checkpoint for "
+                     f"the decode leg)")
+        prior = json.load(open(OUT))
         assert prior.get("backend") == backend, \
             "refusing to mix GL/decode legs from different backends"
+        # per-leg provenance: record when each leg was last refreshed, so a
+        # merged artifact can't silently pass off a stale decode leg as
+        # current (ADVICE r4)
+        import datetime
+
+        stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        art["griffin_lim_refreshed_at"] = stamp
+        prior.setdefault("decode_refreshed_at", prior.get("refreshed_at"))
         prior.update(art)
         art = prior
     else:
         art["decode"] = decode_parity(B, rng)
+        import datetime
+
+        stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        art["griffin_lim_refreshed_at"] = stamp
+        art["decode_refreshed_at"] = stamp
     with open(OUT, "w") as f:
         json.dump(art, f, indent=1)
     print(f"[parity_tpu] wrote {OUT}", flush=True)

@@ -560,15 +560,28 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
             audio[:B].reshape(B, hop * (T - 1)))
 
 
-def _spsi_angles_kernel(mag_ref, re_ref, im_ref, *,
+def _spsi_angles_kernel(mag_ref, re_ref, im_ref, delta_s, cum_s, *,
                         n_fft: int, hop: int, Tp: int, lock: float):
     """Per-utterance SPSI angle init entirely in VMEM (one grid step = one
-    row). Mirrors :func:`spoofsv_tpu.dsp.jaxdsp.gl_spsi_angles` bit-for-bit
-    in structure — f32 log/parabola/cumsum (only the cumsum association
-    order differs: log-shift doubling here vs XLA's scan) — but with ~6x
-    less HBM traffic: the XLA init is HBM-bound at bench shapes (~100 ms at
-    B=768/T=1300 on v5e, 75 ms of it the (B,T,F) f32 cumsum's log passes),
-    while this kernel reads mag once and writes the bf16 angle pair."""
+    row). Mirrors :func:`spoofsv_tpu.dsp.jaxdsp.gl_spsi_angles`: same f32
+    log/parabola/cumsum math; the only numeric deltas vs the XLA angles are
+    (a) the cumsum association order (shift doubling here vs XLA's scan) —
+    measured ≤ 2e-6 cycles at T=70 — and (b) the bf16 output cast, which
+    dominates (≈2e-3 per component; the *phase* agreement after normalizing
+    the bf16 pair is ≥ 0.999996 cos Δφ — see
+    tests/test_pallas_gl.py::test_spsi_angles_kernel_matches_xla).
+    The win over the XLA init is HBM traffic (~6x): the XLA init is
+    HBM-bound at bench shapes (~100 ms at B=768/T=1300 on v5e, 75 ms of it
+    the (B,T,F) f32 cumsum's log passes), while this kernel reads mag once
+    and writes the bf16 angle pair.
+
+    VMEM discipline (the r4 version OOMed at T=1300: 34.2 MB scoped vs the
+    16 MB default limit): delta and the cumsum run through explicit scratch
+    buffers, and the shift-doubling cumsum is chunked over 128-lane
+    frequency blocks (the frame-axis cumsum is per-bin independent) so each
+    unrolled doubling step keeps only (Tp, 128) f32 temporaries live rather
+    than O(log T) full (Tp, F) arrays. The wrapper also sets the same
+    128 MB scoped-vmem limit as the main GL kernel."""
     N = n_fft
     F = N // 2 + 1
     f32 = jnp.float32
@@ -580,19 +593,26 @@ def _spsi_angles_kernel(mag_ref, re_ref, im_ref, *,
     c = jnp.concatenate([logm[:, 1:], logm[:, F - 1:]], axis=1)    # k+1
     denom = a - 2.0 * logm + c
     concave = denom < f32(-1e-6)
-    delta = jnp.where(concave,
-                      f32(0.5) * (a - c) / jnp.where(concave, denom, f32(-1.0)),
-                      f32(0.0))
-    delta = jnp.clip(delta, -0.5, 0.5)
+    delta_s[:] = jnp.clip(
+        jnp.where(concave,
+                  f32(0.5) * (a - c) / jnp.where(concave, denom, f32(-1.0)),
+                  f32(0.0)),
+        -0.5, 0.5)
     # inclusive cumsum over frames (sublanes) by shift doubling — log2(Tp)
-    # VMEM passes instead of XLA's HBM passes
-    cum = delta
-    s = 1
-    while s < Tp:
-        cum = cum + jnp.concatenate(
-            [jnp.zeros((s, F), f32), cum[: Tp - s]], axis=0)
-        s *= 2
-    cyc = (cum - delta) * f32(hop / N)        # exclusive: frame 0 at phase 0
+    # VMEM passes instead of XLA's HBM passes. Chunked over lane blocks to
+    # bound live temporaries (per-bin independent along frames).
+    FC = 128
+    for f0 in range(0, F, FC):
+        fw = min(FC, F - f0)
+        cum = delta_s[:, f0:f0 + fw]
+        s = 1
+        while s < Tp:
+            cum = cum + jnp.concatenate(
+                [jnp.zeros((s, fw), f32), cum[: Tp - s]], axis=0)
+            s *= 2
+        cum_s[:, f0:f0 + fw] = cum
+    delta = delta_s[:]
+    cyc = (cum_s[:] - delta) * f32(hop / N)   # exclusive: frame 0 at phase 0
     frac = (cyc - jnp.round(cyc)) * f32(2.0 * np.pi)
     if lock:
         frac = frac + delta * f32(lock * np.pi * (N - 1) / N)
@@ -632,6 +652,12 @@ def gl_spsi_angles_fused(mag: jax.Array, n_fft: int, hop_length: int,
 
     kernel = functools.partial(_spsi_angles_kernel, n_fft=n_fft,
                                hop=hop_length, Tp=Tp, lock=lock)
+    kw = {}
+    if _VMEM is not None and not interpret:
+        # same scoped-vmem headroom as _fused_gl_phase: the default 16 MB
+        # limit OOMs at the production bench shape (T=1300 → 34.2 MB in r4)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024)
     re, im = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -640,7 +666,10 @@ def gl_spsi_angles_fused(mag: jax.Array, n_fft: int, hop_length: int,
                    vspec((1, Tp, F), lambda b: (b, 0, 0))),
         out_shape=(jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16),
                    jax.ShapeDtypeStruct((B, Tp, F), jnp.bfloat16)),
+        scratch_shapes=[_scratch((Tp, F), jnp.float32),    # delta
+                        _scratch((Tp, F), jnp.float32)],   # cumsum
         interpret=interpret,
+        **kw,
     )(mag_p)
     return re[:, :T, :], im[:, :T, :]
 

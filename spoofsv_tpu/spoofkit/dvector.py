@@ -84,9 +84,9 @@ def create_dvectors(ge2e: GE2EConfig, embedder, params,
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Build uis-rnn-compatible (train_sequence, train_cluster_id) arrays.
 
-    ``vad_classifier``: "energy" (default), "webrtc" (the native
+    ``vad_classifier``: None → the default ("webrtc", the native
     transcription of the detector the reference uses,
-    dvector_create.py:92 -> VAD_chunk(2, ...)), or a callable.
+    dvector_create.py:92 -> VAD_chunk(2, ...)), "energy", or a callable.
     """
     import jax.numpy as jnp
 

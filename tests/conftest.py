@@ -40,6 +40,46 @@ if not os.environ.get("SPOOFSV_TEST_TPU"):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Fast/slow tier split (VERDICT r4 §weak-7: the 22-minute suite stopped being
+# run before every commit, and a red parity test shipped). The tests below are
+# marked `slow` centrally (by node-id substring, measured ≥ ~10 s each on the
+# 1-CPU runner) so `scripts/test.sh --fast` (= -m "not slow") finishes in
+# < 5 min and is cheap enough to run before every commit. The full suite
+# remains the default `scripts/test.sh`.
+#
+# Kernel-parity tests (test_pallas_gl, SPSI/decode parity) are deliberately
+# NOT in this list — catching kernel divergence pre-commit is the fast tier's
+# whole point.
+# ---------------------------------------------------------------------------
+_SLOW_NODE_SUBSTRINGS = [
+    "test_multihost.py::TestTwoProcessTraining::test_two_process_wgan_gp",
+    "test_trainer_loop.py::TestOrdinaryTrainer::test_resume_roundtrip",
+    "test_trainer_loop.py::TestOrdinaryTrainer::test_fit_validate_checkpoint",
+    "test_trainer_loop.py::TestOrdinaryTrainer::test_loss_logs_kept",
+    "test_trainer_loop.py::TestOrdinaryTrainer::test_val_loader_untouched",
+    "test_trainer_loop.py::TestMeshTrainer::",
+    "test_trainer_loop.py::TestAdversarialTrainer::test_g_d_alternation",
+    "test_train.py::TestBF16Training::test_loss_trajectory_tracks_f32",
+    "test_train.py::TestDataParallel::",
+    "test_train.py::TestAdversarialSteps::test_variants_run_and_are_finite",
+    "test_train.py::TestAdversarialSteps::test_ssrn_adversarial",
+    "test_train.py::TestOrdinarySteps::test_text2mel_loss_decreases",
+    "test_parallel_synth.py::TestDataParallelSynthesizer::test_sharded_matches_single_device",
+    "test_parallel_synth.py::TestDataParallelSynthesizer::test_bench_mesh_flag",
+    "test_cli.py::TestTrainingSmoke::",
+    "test_cli.py::TestGraftEntry::test_entry_compiles_single_device",
+    "test_models.py::TestDRS::test_forward_softmax",
+    "test_spoofkit.py::TestDeviceSpeakerBank::test_train_ge2e_device_equals_host",
+    "test_spoofkit.py::TestNospoofStagedEquivalence::test_staged_matches_slice",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW_NODE_SUBSTRINGS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -210,9 +210,14 @@ class TestFusedGriffinLim:
     def test_spsi_angles_kernel_matches_xla(self):
         """The VMEM-resident SPSI angle kernel (gl_spsi_angles_fused) must
         reproduce jaxdsp.gl_spsi_angles: same f32 log/parabola math; only
-        the cumsum association order differs (shift-doubling vs XLA scan),
-        plus the bf16 output cast — bound both, and pin the phase agreement
-        (re·re' + im·im' = cos Δφ ≈ 1) which is what GL actually consumes."""
+        the cumsum association order differs (shift-doubling vs XLA scan,
+        measured ≤ 2e-6 cycles here), plus the bf16 output cast. The cast
+        makes the kernel's (re, im) pair slightly non-unit (up to ~3e-3 of
+        norm — the r4 version of this test folded that into an unnormalized
+        dot product and "failed" at 0.99731 on pure quantization), so bound
+        the two effects separately: the *phase* agreement on the normalized
+        pair (what GL's projection actually consumes — it renormalizes every
+        iteration), and the norm deviation at the bf16 rounding scale."""
         from spoofsv_tpu.ops.pallas_gl import gl_spsi_angles_fused
 
         mag = _test_mag(3, 70, seed=21)
@@ -222,8 +227,10 @@ class TestFusedGriffinLim:
         im_k = np.asarray(im_k, np.float32)
         np.testing.assert_allclose(re_k, np.asarray(re_x), atol=2e-2)
         np.testing.assert_allclose(im_k, np.asarray(im_x), atol=2e-2)
-        cos_dphi = re_k * np.asarray(re_x) + im_k * np.asarray(im_x)
-        assert float(np.min(cos_dphi)) > 0.999, float(np.min(cos_dphi))
+        norm = np.sqrt(re_k ** 2 + im_k ** 2)
+        np.testing.assert_allclose(norm, 1.0, atol=5e-3)
+        cos_dphi = (re_k * np.asarray(re_x) + im_k * np.asarray(im_x)) / norm
+        assert float(np.min(cos_dphi)) > 0.99995, float(np.min(cos_dphi))
 
     def test_spsi_angles_flat_falls_back_to_advance(self):
         """Structureless (flat) magnitudes have no concave log-mag triples,
