@@ -80,6 +80,13 @@ class TPUConfig:
     # re-score script is scripts/gl_spsi_check.py (run after any campaign).
     # Reference behavior:
     # {"TPU": {"griffin_lim_iters": 64, "griffin_lim_init": "random"}}.
+    #
+    # PROCESS GATE (r4 post-mortem): any change to the production vocoder
+    # defaults below MUST pass, before merging, (a) the headline-shape
+    # on-chip compile tests (SPOOFSV_TEST_TPU=1 pytest
+    # tests/test_tpu_compile.py — r4 shipped a default whose kernel
+    # VMEM-OOMed at B=768/T=1300 after validating only at batch 16), and
+    # (b) a green `python bench.py` on the live chip.
     griffin_lim_iters: int = 16
     # DFT-matmul precision for Griffin-Lim: "default" (1-pass bf16 MXU) is
     # 1.6x faster than "highest" (3-pass fp32) with measurably identical

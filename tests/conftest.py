@@ -72,6 +72,31 @@ _SLOW_NODE_SUBSTRINGS = [
     "test_models.py::TestDRS::test_forward_softmax",
     "test_spoofkit.py::TestDeviceSpeakerBank::test_train_ge2e_device_equals_host",
     "test_spoofkit.py::TestNospoofStagedEquivalence::test_staged_matches_slice",
+    # second trim pass (measured fast tier 9:30 → target <5 min). The
+    # pair-fusion / Winograd-adjacent conv arms are CLOSED experiments (not
+    # production paths — docs/SSRN_PROFILE.json), serve/mesh e2e and model
+    # shape smoke are covered by cheaper siblings; decode parity keeps its
+    # fast [False] variant in the fast tier.
+    "test_pallas_conv.py::test_text2mel_fused_pair_impl_matches_xla",
+    "test_pallas_conv.py::test_ssrn_fused_pair_impl_matches_xla",
+    "test_pallas_conv.py::test_custom_vjp_grads_match",
+    "test_pallas_conv.py::test_fused_pair_matches_chained_fused",
+    "test_pallas_conv.py::test_text2mel_fused_conv_impl_matches_xla",
+    "test_pallas_decode.py::TestFusedDecodeParity::test_matches_scan_decoder[True]",
+    "test_pallas_decode.py::TestFusedDecodeParity::test_long_rollout_rings_wrap",
+    "test_pallas_decode.py::TestFusedDecodeParity::test_batch_tiling",
+    "test_parallel_synth.py::TestDataParallelSynthesizer::test_shard_map_fused_kernels",
+    "test_parallel_synth.py::TestDataParallelSynthesizer::test_shard_map_spsi_init",
+    "test_train.py::TestAdversarialSteps::test_wgan_clips_weights",
+    "test_train.py::TestOrdinarySteps::test_ssrn_loss_decreases",
+    "test_models.py::TestCritics::test_sigmoid_variant_in_range",
+    "test_models.py::TestCritics::test_scalar_output",
+    "test_models.py::TestSSRN::test_upsamples_4x",
+    "test_models.py::TestGE2E::test_embedder_shapes",
+    "test_serve.py::test_device_pcm_matches_host_finalize",
+    "test_serve.py::TestMeshServing::",
+    "test_models.py::TestCMVariants::",
+    "test_pallas_ops.py::TestGateImplSwitch::",
 ]
 
 
