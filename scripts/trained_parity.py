@@ -183,6 +183,10 @@ def main():
 
     decode = make_decoder(melsyn, T)
     y_j, a_j, _ = decode(p1, jnp.asarray(text_np), jnp.asarray(spk_np))
+    mel_mean = float(np.mean(np.abs(y_ref)))
+    assert mel_mean > 0.01, (
+        f"reference rollout is near-silent (mean |mel| {mel_mean:.5f}) — "
+        "the parity comparison would be vacuous")
     mel_diff = float(np.max(np.abs(
         np.asarray(y_j).transpose(0, 2, 1) - y_ref)))
     attn_diff = float(np.max(np.abs(np.asarray(a_j) - a_ref)))
@@ -199,6 +203,7 @@ def main():
         "ok": bool(ok),
         "checkpoints": {"text2mel": t2m_ck, "ssrn": ssrn_ck},
         "frames": T, "batch": B, "dtype": "float32",
+        "ref_mel_mean_abs": mel_mean,
         "mel_maxabs": mel_diff, "attn_maxabs": attn_diff,
         "ssrn_lin_maxabs": lin_diff,
         "mel_threshold": args.mel_threshold,

@@ -20,7 +20,23 @@ def load_generator_params(path: str, model, cfg, kind: str = "text2mel") -> Any:
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+        try:
+            restored = ckptr.restore(os.path.abspath(path))
+        except ValueError:
+            # Cross-device restore (e.g. TPU-written campaign checkpoint
+            # loaded in a CPU process): the saved sharding file names devices
+            # this process doesn't have. Restore as host numpy instead —
+            # shape/dtype from the checkpoint's own metadata, no sharding.
+            import jax.tree_util as jtu
+            import numpy as np
+
+            meta = ckptr.metadata(os.path.abspath(path)).item_metadata
+            leaves, treedef = jtu.tree_flatten(meta.tree)
+            args = jtu.tree_unflatten(
+                treedef,
+                [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves))
+            restored = ckptr.restore(os.path.abspath(path),
+                                     restore_args=args)
     # Trainer saves TrainState/AdvTrainState pytrees; accept raw params too.
     if isinstance(restored, dict):
         if "gen_params" in restored:
