@@ -53,42 +53,84 @@ def main():
     wavs = [wavs[i] for i in
             rng.choice(len(wavs), min(args.utts, len(wavs)), replace=False)]
 
-    stats = {c: {"segments": 0, "voiced_s": 0.0, "chunks": 0, "utts_empty": 0}
-             for c in ("webrtc", "energy")}
-    span_agreement = []
-    for path in wavs:
-        y, sr = dsp_host.load_wav(path, sr=16000)
-        masks = {}
-        for c in ("webrtc", "energy"):
-            segs = vad_collector(y, sr, classifier=c)
-            chunks, spans = vad_chunk(y, sr, classifier=c)
-            st = stats[c]
-            st["segments"] += len(segs)
-            st["voiced_s"] += sum((e - s) for s, e in segs) / sr
-            st["chunks"] += len(chunks)
-            st["utts_empty"] += not segs
-            m = np.zeros(len(y), bool)
-            for s, e in segs:
-                m[s:e] = True
-            masks[c] = m
-        inter = float(np.sum(masks["webrtc"] & masks["energy"]))
-        union = float(np.sum(masks["webrtc"] | masks["energy"]))
-        span_agreement.append(inter / union if union else 1.0)
+    def run_condition(condition):
+        """A/B both classifiers over the sample; ``condition`` transforms
+        each waveform (identity for the clean campaign audio; additive
+        noise for the marginal-SNR leg where the detectors can differ)."""
+        stats = {c: {"segments": 0, "voiced_s": 0.0, "chunks": 0,
+                     "utts_empty": 0} for c in ("webrtc", "energy")}
+        span_agreement = []
+        for i, path in enumerate(wavs):
+            y, sr = dsp_host.load_wav(path, sr=16000)
+            y = condition(y, i)
+            masks = {}
+            for c in ("webrtc", "energy"):
+                segs = vad_collector(y, sr, classifier=c)
+                chunks, spans = vad_chunk(y, sr, classifier=c)
+                st = stats[c]
+                st["segments"] += len(segs)
+                st["voiced_s"] += sum((e - s) for s, e in segs) / sr
+                st["chunks"] += len(chunks)
+                st["utts_empty"] += not segs
+                m = np.zeros(len(y), bool)
+                for s, e in segs:
+                    m[s:e] = True
+                masks[c] = m
+            inter = float(np.sum(masks["webrtc"] & masks["energy"]))
+            union = float(np.sum(masks["webrtc"] | masks["energy"]))
+            span_agreement.append(inter / union if union else 1.0)
+        return {
+            "per_classifier": {
+                c: {"segments": s["segments"],
+                    "voiced_s": round(s["voiced_s"], 1),
+                    "chunks_0p4s": s["chunks"],
+                    "utts_with_no_voiced": s["utts_empty"]}
+                for c, s in stats.items()},
+            "voiced_mask_iou_mean": round(float(np.mean(span_agreement)), 4),
+            "voiced_mask_iou_min": round(float(np.min(span_agreement)), 4),
+        }
+
+    noise_rng = np.random.default_rng(1)
+
+    def add_noise(y, i, snr_db=5.0):
+        sig = float(np.sqrt(np.mean(y ** 2) + 1e-12))
+        n = noise_rng.normal(size=len(y)).astype(np.float32)
+        n *= sig / 10 ** (snr_db / 20) / float(np.sqrt(np.mean(n ** 2)))
+        return (y + n).astype(np.float32)
+
+    def gapped(noise_rel_db):
+        """1 s noise-only flanks + a mid-utterance noise gap around the
+        speech — the detectors must actually LOCATE speech here (the raw
+        corpus wavs are voiced end-to-end, so every classifier saturates
+        on them)."""
+        def f(y, i):
+            sig = float(np.sqrt(np.mean(y ** 2) + 1e-12))
+            amp = sig * 10 ** (noise_rel_db / 20)
+
+            def noise(n_samp):
+                return (amp * noise_rng.normal(size=n_samp)).astype(np.float32)
+
+            half = len(y) // 2
+            return np.concatenate([
+                noise(16000), y[:half], noise(8000), y[half:], noise(16000)])
+        return f
 
     art = {
         "n_utts": len(wavs),
         "corpus": os.path.join(args.root, "corpus"),
-        "per_classifier": {
-            c: {"segments": s["segments"],
-                "voiced_s": round(s["voiced_s"], 1),
-                "chunks_0p4s": s["chunks"],
-                "utts_with_no_voiced": s["utts_empty"]}
-            for c, s in stats.items()},
-        "voiced_mask_iou_mean": round(float(np.mean(span_agreement)), 4),
-        "voiced_mask_iou_min": round(float(np.min(span_agreement)), 4),
+        "clean": run_condition(lambda y, i: y),
+        "noisy_5db_snr": run_condition(add_noise),
+        "gapped_quiet_floor": run_condition(gapped(-35.0)),
+        "gapped_loud_floor": run_condition(gapped(-12.0)),
         "scope_note": ("VAD feeds only the d-vector creator in the reference "
                        "(dvector_create.py:92); GE2E EER/SR staging does not "
-                       "pass through it"),
+                       "pass through it. The raw campaign corpus is voiced "
+                       "end-to-end, so both detectors saturate on it (IoU "
+                       "1.0 — the default flip is behavior-preserving "
+                       "there); the gapped legs insert noise-only flanks/"
+                       "gaps so the detectors must locate speech, which is "
+                       "where the fixed-point GMM and the energy heuristic "
+                       "genuinely differ."),
     }
 
     if args.ge2e_ck:
