@@ -18,7 +18,12 @@ import json
 import os
 import sys
 
-sys.argv = [sys.argv[0]]            # campaign.py parses argv at import
+# campaign.py parses argv at import; forward only the campaign root
+# (SPOOFSV_CAMPAIGN_ROOT or --root, default the base _campaign dir)
+_root = os.environ.get("SPOOFSV_CAMPAIGN_ROOT")
+if "--root" in sys.argv:
+    _root = sys.argv[sys.argv.index("--root") + 1]
+sys.argv = [sys.argv[0]] + (["--root", _root] if _root else [])
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
