@@ -9,6 +9,7 @@ propagating the sharding with no collectives (every op is per-sample).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spoofsv_tpu.config import Config
 from spoofsv_tpu.infer.synthesize import Synthesizer
@@ -39,8 +40,20 @@ def _tiny_setup(B=8, N=12, T=8):
 
 
 class TestDataParallelSynthesizer:
-    def test_sharded_matches_single_device(self):
+    @pytest.mark.parametrize("init_mode", ["advance", "spsi"])
+    def test_sharded_matches_single_device(self, init_mode):
+        """Parametrized over GL init modes so the LOOSE audio bound applies
+        only where its justification holds (ADVICE r4): the spsi init
+        computes starting phases from the magnitudes, folding per-shard
+        conv vectorization noise (~2e-5 on mel) into the phase trajectory;
+        the advance init is magnitude-independent, so its sharded audio
+        must stay within plain float-noise bounds — a genuine sharding
+        regression can't hide behind the spsi rationale."""
+        import dataclasses
+
         cfg, melsyn, ssrn, p1, p2, text, spk, T = _tiny_setup()
+        cfg = cfg.replace(tpu=dataclasses.replace(
+            cfg.tpu, griffin_lim_init=init_mode))
         key = jax.random.PRNGKey(7)
 
         single = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T, gl_iters=3)
@@ -60,27 +73,34 @@ class TestDataParallelSynthesizer:
                                    atol=2e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(at0), np.asarray(at1),
                                    atol=2e-5, rtol=1e-4)
-        # audio bound is looser than mel/attn: the production default GL
-        # init (spsi) computes starting phases from the magnitudes (frame
-        # cumsum), integrating the ~2e-5 per-shard conv vectorization noise
-        # — GL then converges to a marginally different (equally valid)
-        # phase solution (same rationale as the dedicated spsi shard_map
-        # test below; observed max |Δ| ≈ 1.8e-3 at 3 iters).
         a0n, a1n = np.asarray(a0), np.asarray(a1)
-        np.testing.assert_allclose(a0n, a1n, atol=1e-2)
-        assert np.median(np.abs(a0n - a1n)) < 5e-3
+        if init_mode == "spsi":
+            # GL converges to a marginally different (equally valid) phase
+            # solution when the init integrates the conv noise (frame
+            # cumsum); observed max |Δ| ≈ 1.8e-3 at 3 iters.
+            np.testing.assert_allclose(a0n, a1n, atol=1e-2)
+            assert np.median(np.abs(a0n - a1n)) < 5e-3
+        else:
+            # magnitude-independent init: tight r3-era bounds
+            np.testing.assert_allclose(a0n, a1n, atol=5e-4)
+            assert np.median(np.abs(a0n - a1n)) < 2e-4
 
-    def test_shard_map_fused_kernels_match_single_device(self):
+    @pytest.mark.parametrize("init_mode", ["advance", "spsi"])
+    def test_shard_map_fused_kernels_match_single_device(self, init_mode):
         """The fused Pallas decode + GL kernels under a mesh: Synthesizer
         wraps the whole per-sample pipeline in shard_map over the data axis
         (pallas_call is not pjit-auto-partitionable), with GL seeds drawn
         globally — sharded audio must equal single-device audio. Closes the
-        r2 'fused decode and DP synthesis are mutually exclusive' gap."""
+        r2 'fused decode and DP synthesis are mutually exclusive' gap.
+        Parametrized over GL init modes (ADVICE r4): only spsi earns the
+        loose audio bound (its init folds per-shard conv noise into the
+        starting phases); advance keeps the tighter bound."""
         import dataclasses
 
         cfg, melsyn, ssrn, p1, p2, text, spk, T = _tiny_setup()
         cfg = cfg.replace(tpu=dataclasses.replace(
-            cfg.tpu, decode_impl="pallas", griffin_lim_impl="pallas"))
+            cfg.tpu, decode_impl="pallas", griffin_lim_impl="pallas",
+            griffin_lim_init=init_mode))
         key = jax.random.PRNGKey(7)
 
         single = Synthesizer(cfg, melsyn, ssrn, p1, p2, n_frames=T, gl_iters=3)
@@ -101,13 +121,17 @@ class TestDataParallelSynthesizer:
         # B=1-per-device vs B=8); seeds are shared so the phase TRAJECTORY is
         # the same — bound the amplified noise rather than demand bitwise
         a0n, a1n = np.asarray(a0), np.asarray(a1)
-        # (4e-2: with the advance-init default the 3-iter GL trajectory
-        # amplified the conv noise marginally more — 38/63k samples sat just
-        # above the old 2e-2 bound at max 0.024; the spsi production default
-        # additionally folds the noise into the starting phases, lifting the
-        # median to the same ~5e-3 scale as the dedicated spsi test below)
-        np.testing.assert_allclose(a0n, a1n, atol=4e-2)
-        assert np.median(np.abs(a0n - a1n)) < 5e-3
+        if init_mode == "spsi":
+            # spsi folds the conv noise into the starting phases, lifting
+            # the median to the ~5e-3 scale of the dedicated spsi test below
+            np.testing.assert_allclose(a0n, a1n, atol=4e-2)
+            assert np.median(np.abs(a0n - a1n)) < 5e-3
+        else:
+            # advance: GL amplifies only trajectory noise — 38/63k samples
+            # sat just above 2e-2 at max 0.024 when this was measured, but
+            # the median stays at plain float-noise scale
+            np.testing.assert_allclose(a0n, a1n, atol=2.5e-2)
+            assert np.median(np.abs(a0n - a1n)) < 1e-3
 
     def test_shard_map_spsi_init_matches_single_device(self):
         """griffin_lim_init='spsi' under the shard_map DP pipeline: the init
