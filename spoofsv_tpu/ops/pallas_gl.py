@@ -125,6 +125,9 @@ def _gl_kernel(seed_ref, mag_ref, *refs,
     if init_mode == "external":
         extre_ref, extim_ref = refs[:2]
         refs = refs[2:]
+    elif init_mode == "spsi":
+        magf_ref = refs[0]          # f32 magnitudes, read once by the init
+        refs = refs[1:]
     (angre_ref, angim_ref, audio_ref,
      fsyn, rebre, rebim, dftc, dfts, invc, invs, nyq_c, nyq_ic,
      wvec, invw_l, invw_r, flip, ana, sedge, eana, sig, *extra) = refs
@@ -197,8 +200,6 @@ def _gl_kernel(seed_ref, mag_ref, *refs,
     # Per-utterance state init
     # ------------------------------------------------------------------
     fsyn[:] = jnp.zeros_like(fsyn)
-    rebre[:] = jnp.zeros_like(rebre)
-    rebim[:] = jnp.zeros_like(rebim)
 
     if int8_fwd:
         # Hoisted phase-A quantization: mag is loop-invariant, so the int8
@@ -240,6 +241,49 @@ def _gl_kernel(seed_ref, mag_ref, *refs,
         for ri in range(R):
             angre_ref[ri] = extre_ref[ri]
             angim_ref[ri] = extim_ref[ri]
+    elif init_mode == "spsi":
+        # SPSI instantaneous-frequency init computed IN-KERNEL (mirror of
+        # jaxdsp.gl_spsi_angles / the standalone gl_spsi_angles_fused, same
+        # f32 log/parabola/chunked-cumsum math on a dedicated f32 mag input
+        # read once) — fused here the init costs zero extra kernel launches
+        # and zero HBM round-trips of the (B, T, F) angle pair (the
+        # standalone path writes + re-reads ~2.8 GB of bf16 angles at bench
+        # shape). The rebre/rebim f32 scratch doubles as delta/cumsum
+        # storage; both are re-zeroed by the state init below.
+        for ri in range(R):
+            m = magf_ref[ri].astype(f32)
+            logm = jnp.log(jnp.maximum(m, f32(1e-10)))
+            a_nb = jnp.concatenate([logm[:, :1], logm[:, : F - 1]], axis=1)
+            c_nb = jnp.concatenate([logm[:, 1:], logm[:, F - 1:]], axis=1)
+            denom = a_nb - 2.0 * logm + c_nb
+            concave = denom < f32(-1e-6)
+            rebre[ri] = jnp.clip(
+                jnp.where(concave,
+                          f32(0.5) * (a_nb - c_nb)
+                          / jnp.where(concave, denom, f32(-1.0)),
+                          f32(0.0)),
+                -0.5, 0.5)
+            FC = 128
+            for f0 in range(0, F, FC):
+                fw = min(FC, F - f0)
+                cum = rebre[ri, :, f0:f0 + fw]
+                s = 1
+                while s < Tp:
+                    cum = cum + jnp.concatenate(
+                        [jnp.zeros((s, fw), f32), cum[: Tp - s]], axis=0)
+                    s *= 2
+                rebim[ri, :, f0:f0 + fw] = cum
+            delta = rebre[ri]
+            cyc = (rebim[ri] - delta) * f32(hop / N)   # exclusive cumsum
+            frac = (cyc - jnp.round(cyc)) * f32(2.0 * np.pi)
+            frac = frac + delta * f32(np.pi * (N - 1) / N)   # lock=1.0
+            hk = (kk_ * jnp.int32(hop)) % jnp.int32(N)
+            phase = ((tt_ * hk) % jnp.int32(N)).astype(f32) * f32(
+                2.0 * np.pi / N)
+            b_re, b_im = jnp.cos(phase), jnp.sin(phase)
+            c_f, s_f = jnp.cos(frac), jnp.sin(frac)
+            angre_ref[ri] = (b_re * c_f - b_im * s_f).astype(bf16)
+            angim_ref[ri] = (b_re * s_f + b_im * c_f).astype(bf16)
     else:
         # int32 murmur-style hash (Mosaic has no uint32->f32 cast; int32
         # wrap-around multiplies + logical shifts give identical bits)
@@ -250,6 +294,10 @@ def _gl_kernel(seed_ref, mag_ref, *refs,
                 2.0 * np.pi / (1 << 24))
             angre_ref[ri] = jnp.cos(phase).astype(bf16)
             angim_ref[ri] = jnp.sin(phase).astype(bf16)
+
+    # reb carries start at zero (also clears the spsi branch's scratch use)
+    rebre[:] = jnp.zeros_like(rebre)
+    rebim[:] = jnp.zeros_like(rebim)
 
     def _rev(x, width):
         """Exact lane reversal of a (1, width) f32 vector via the 0/1 flip
@@ -467,13 +515,13 @@ def hash_phase_init(seeds: jax.Array, T: int, F: int) -> Tuple[jax.Array, jax.Ar
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "hop", "n_iter", "momentum", "interpret", "int8_fwd",
     "init_mode"))
-def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
+def _fused_gl_phase(mag: jax.Array, seeds: jax.Array, n_fft: int,
                     hop: int, n_iter: int, momentum: float,
                     interpret: bool, int8_fwd: bool,
                     init_mode: str = "random",
                     init_angles: Optional[Tuple[jax.Array, jax.Array]] = None
                     ) -> Tuple[jax.Array, jax.Array]:
-    B, T, F = mag_bf16.shape
+    B, T, F = mag.shape
     # pad T to the bf16 sublane tile (16), not a whole TT tile: the kernel
     # loops full TT tiles plus one short remainder tile
     Tp = -(-T // 16) * 16
@@ -482,7 +530,8 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
     # and the doubled VMEM state hurts its pipelining. Keep single-row.
     R = 1
     Bp = -(-B // R) * R
-    mag_p = jnp.pad(mag_bf16, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    mag_p = jnp.pad(mag.astype(jnp.bfloat16),
+                    ((0, Bp - B), (0, Tp - T), (0, 0)))
     seeds = jnp.pad(seeds, ((0, Bp - B),))
     ext_inputs = ()
     if init_mode == "external":
@@ -491,6 +540,12 @@ def _fused_gl_phase(mag_bf16: jax.Array, seeds: jax.Array, n_fft: int,
             jnp.pad(a.astype(jnp.bfloat16), ((0, Bp - B), (0, Tp - T), (0, 0)),
                     constant_values=1.0 if i == 0 else 0.0)
             for i, a in enumerate(init_angles))
+    elif init_mode == "spsi":
+        # the in-kernel SPSI init reads a dedicated f32 magnitude input so
+        # its log-parabola deltas match jaxdsp.gl_spsi_angles bit-for-bit
+        # (the main bf16 mag operand would perturb the second differences)
+        ext_inputs = (jnp.pad(mag.astype(jnp.float32),
+                              ((0, Bp - B), (0, Tp - T), (0, 0))),)
     N = n_fft
 
     kernel = functools.partial(_gl_kernel, n_fft=N, hop=hop, T=T, Tp=Tp,
@@ -729,20 +784,12 @@ def griffin_lim_fused(mag: jax.Array, key: jax.Array, n_fft: int,
     if seeds is None:
         seeds = gl_seeds(key, B)
     ia = None
-    if init_mode == "spsi":
-        # the IF estimate + cumsum runs as its own VMEM-resident Pallas
-        # kernel on TPU (the XLA version is HBM-bound: ~100 ms at bench
-        # shapes, 75 ms of it the (B,T,F) cumsum) — the GL kernel then
-        # consumes the angle pair through the external-init path. Interpret
-        # mode (CPU) keeps the XLA angles: same math, and the interpreter
-        # would be the slow path there.
-        if interpret:
-            ia = jaxdsp.gl_spsi_angles(mag, n_fft, hop_length)
-        else:
-            ia = gl_spsi_angles_fused(mag.astype(jnp.float32), n_fft,
-                                      hop_length)
-        init_mode = "external"
-    _, _, audio = _fused_gl_phase(mag.astype(jnp.bfloat16), seeds,
+    # init_mode == "spsi" is computed INSIDE _gl_kernel since r5 (zero
+    # extra dispatches / HBM round-trips of the angle pair; the standalone
+    # gl_spsi_angles_fused kernel remains for external callers and the
+    # angle-level parity tests). The init branch reads its own f32 mag
+    # input, so the angle math is identical to the standalone kernel.
+    _, _, audio = _fused_gl_phase(mag, seeds,
                                   n_fft, hop_length, n_iter, momentum,
                                   bool(interpret), bool(int8_fwd),
                                   init_mode=init_mode, init_angles=ia)
