@@ -6,9 +6,10 @@ Full pipeline at reference dims — batched autoregressive Text2Mel decode
 (DFT-matmul on TPU) and de-emphasis — everything jitted on device.
 
 The headline runs the production vocoder config (SPSI instantaneous-
-frequency-init Griffin-Lim, 16 iterations — spectral convergence strictly
-better than the prior advance-24 default on every trained-checkpoint
-magnitude bucket, and within 0.004 of the reference's random-64,
+frequency-init Griffin-Lim, 12 iterations since r5 — analysis-by-synthesis
+MCD on trained checkpoints TIES the reference's random-64 on both the
+copy-synthesis and end-to-end legs, campaign tri-system metrics within
+noise, spectral convergence still better than the r3 advance-24 default —
 docs/GL_SPSI_CHECK.json); the like-for-like
 reference mode (random init, 64 iterations, matching the reference's
 librosa call at synthesize.py:147) is ALSO measured and reported in
@@ -164,7 +165,7 @@ def main() -> None:
         audio_seconds = audio.shape[0] * audio.shape[1] / cfg.sampling_rate
         return audio_seconds / dt / n_chips, audio_seconds, dt
 
-    # headline: production vocoder config (GL16 spsi by default). If the
+    # headline: production vocoder config (GL12 spsi by default). If the
     # production config fails non-transiently (e.g. a kernel compile error —
     # r4 lost its round number to a VMEM OOM here), fall back through
     # known-good vocoder configs and report the number with a loud

@@ -102,20 +102,27 @@ def main():
             print(f"[{dname}] {key}: sc={sc:.5f} "
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
-    # fused Pallas kernel (production path) at the candidate config
+    # fused Pallas kernel (production path) at the candidate configs
     from spoofsv_tpu.ops.pallas_gl import griffin_lim_fused
     for dname, mag_np in mags.items():
         mag = jnp.asarray(mag_np)
-        for tag, kw in (("bf16", {}), ("int8", {"int8_fwd": True})):
-            y = griffin_lim_fused(mag, jax.random.PRNGKey(0), n_fft, hop,
-                                  n_fft, n_iter=16, init_mode="spsi", **kw)
-            sc = PT.spectral_convergence(y, mag, n_fft, hop)
-            art["fused_candidate"].setdefault(f"spsi16_{tag}", {})[dname] = \
-                round(sc, 5)
-            print(f"[{dname}] fused spsi16 {tag}: sc={sc:.5f}", flush=True)
+        for iters in (16, 12):
+            for tag, kw in (("bf16", {}), ("int8", {"int8_fwd": True})):
+                y = griffin_lim_fused(mag, jax.random.PRNGKey(0), n_fft, hop,
+                                      n_fft, n_iter=iters, init_mode="spsi",
+                                      **kw)
+                sc = PT.spectral_convergence(y, mag, n_fft, hop)
+                art["fused_candidate"].setdefault(
+                    f"spsi{iters}_{tag}", {})[dname] = round(sc, 5)
+                print(f"[{dname}] fused spsi{iters} {tag}: sc={sc:.5f}",
+                      flush=True)
 
+    # merge (not overwrite): the artifact also carries mcd_ab /
+    # campaign-rescore sections written by other scripts
+    merged = json.load(open(OUT)) if os.path.isfile(OUT) else {}
+    merged.update(art)
     with open(OUT, "w") as f:
-        json.dump(art, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"[gl_init_check] wrote {OUT}", flush=True)
 
 

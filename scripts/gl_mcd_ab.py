@@ -44,7 +44,8 @@ from _benchlib import setup_cache as _setup_cache
 _setup_cache()
 
 OUT = os.path.join(REPO, "docs", "GL_SPSI_CHECK.json")
-CANDIDATES = [("random", 64), ("spsi", 16), ("spsi", 24), ("advance", 24)]
+CANDIDATES = [("random", 64), ("spsi", 16), ("spsi", 24), ("advance", 24),
+              ("spsi", 12)]
 
 
 def find_ckpt(root: str, prefix: str) -> str:

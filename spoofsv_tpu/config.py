@@ -65,19 +65,24 @@ class TPUConfig:
     bucket_text: Tuple[int, ...] = (60, 100, 140, 186)
     decode_frames: int = 325           # fixed AR rollout length (MAX_FRAME_NUM)
     # GL iteration count. The reference runs 64 random-init iterations
-    # (synthesize.py:144); the production default here is 16 iterations from
-    # the SPSI instantaneous-frequency "spsi" init below, which on trained-
-    # checkpoint magnitudes (short/median/long sentence buckets, bf16 and
-    # int8 fused-kernel paths alike) measures spectral convergence strictly
-    # BETTER than the previous advance-24 default on every bucket, and
-    # closer to the reference's random-64 than advance-24 was (≤0.004 vs
-    # ≤0.014 behind — docs/GL_SPSI_CHECK.json, scripts/gl_init_check.py).
-    # Lineage: the
-    # advance-24 step was additionally validated at campaign level
-    # (tri-system verification metrics within noise, scripts/gl24_check.py,
-    # docs/CAMPAIGN.md), establishing that spectral convergence on these
-    # magnitudes predicts the verification metrics; the spsi-16 campaign
-    # re-score script is scripts/gl_spsi_check.py (run after any campaign).
+    # (synthesize.py:144); the production default here is 12 iterations from
+    # the SPSI instantaneous-frequency "spsi" init below. The r5 flip
+    # 16 → 12 passed every gate in docs/GL_SPSI_CHECK.json:
+    # * task metric (the decider): analysis-by-synthesis MCD on the trained
+    #   campaign checkpoints — spsi@12 TIES OR BEATS every config incl. the
+    #   reference's random-64 (copy-synthesis 11.197 vs 11.212 dB, TTS
+    #   20.630 vs 20.636 — `mcd_ab`);
+    # * campaign tri-system re-score within noise (`campaign_rescore_r5`:
+    #   GE2E SR@EER identical, i-vector spoof rate 0.0, CM ±0.003);
+    # * spectral convergence still strictly better than the r3 advance-24
+    #   default on every sentence bucket and ≤0.006 behind random-64
+    #   (`combos`), with the fused bf16/int8 kernels within 1e-3 of the
+    #   XLA number at 12 iters (`fused_candidate`);
+    # * headline-shape compile tests + green on-chip bench (process gate
+    #   below).
+    # Lineage: advance-24 (r3) was validated at campaign level
+    # (scripts/gl24_check.py), spsi-16 (r4/r5) via scripts/gl_spsi_check.py
+    # + the same MCD harness; re-run those after any campaign.
     # Reference behavior:
     # {"TPU": {"griffin_lim_iters": 64, "griffin_lim_init": "random"}}.
     #
@@ -87,7 +92,7 @@ class TPUConfig:
     # tests/test_tpu_compile.py — r4 shipped a default whose kernel
     # VMEM-OOMed at B=768/T=1300 after validating only at batch 16), and
     # (b) a green `python bench.py` on the live chip.
-    griffin_lim_iters: int = 16
+    griffin_lim_iters: int = 12
     # DFT-matmul precision for Griffin-Lim: "default" (1-pass bf16 MXU) is
     # 1.6x faster than "highest" (3-pass fp32) with measurably identical
     # spectral convergence (0.0515 vs 0.0517 rel err at 64 iters) — GL's

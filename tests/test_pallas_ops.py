@@ -149,21 +149,23 @@ def test_parity_tpu_artifact():
 
 
 def test_gl_spsi_artifact():
-    """The committed trained-checkpoint GL-init artifact
-    (docs/GL_SPSI_CHECK.json, written by scripts/gl_init_check.py on the
-    live chip) must keep supporting the production default
-    (griffin_lim_init='spsi', 16 iters): strictly better spectral
-    convergence than the prior advance-24 default on EVERY sentence bucket,
-    within 0.005 of the reference's random-64, and the fused bf16/int8
-    kernel paths within 1e-3 of the XLA number at spsi-16. A hand-edit or a
-    re-run that breaks any of these must fail here loudly."""
+    """The committed trained-checkpoint GL artifact
+    (docs/GL_SPSI_CHECK.json, written on the live chip) must keep
+    supporting the production default (griffin_lim_init='spsi', 12 iters
+    since r5): spectral convergence strictly better than the r3 advance-24
+    default on EVERY sentence bucket and ≤0.006 behind the reference's
+    random-64; the fused bf16/int8 kernel paths within 1e-3 of the XLA
+    number at 12 iters; AND — the r5 decider — the analysis-by-synthesis
+    MCD tie with the reference mode on the trained checkpoints (`mcd_ab`:
+    within 0.05 dB of random@64 on both legs). A hand-edit or a re-run
+    that breaks any of these must fail here loudly."""
     import json
     import os
 
     from spoofsv_tpu.config import Config
 
     cfg = Config().tpu
-    assert (cfg.griffin_lim_init, cfg.griffin_lim_iters) == ("spsi", 16)
+    assert (cfg.griffin_lim_init, cfg.griffin_lim_iters) == ("spsi", 12)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "GL_SPSI_CHECK.json")
@@ -172,9 +174,13 @@ def test_gl_spsi_artifact():
     combos = art["combos"]
     buckets = ["short_sentences", "median_sentences", "long_sentences"]
     for b in buckets:
-        spsi16 = combos["spsi@16"][b]
-        assert spsi16 < combos["advance@24"][b], (b, combos)
-        assert spsi16 < combos["random@64"][b] + 0.005, (b, combos)
-        # fused production kernels track the XLA spsi-16 number
-        for k in ("spsi16_bf16", "spsi16_int8"):
-            assert abs(art["fused_candidate"][k][b] - spsi16) < 1e-3, (k, b)
+        spsi12 = combos["spsi@12"][b]
+        assert spsi12 < combos["advance@24"][b], (b, combos)
+        assert spsi12 < combos["random@64"][b] + 0.006, (b, combos)
+        # fused production kernels track the XLA spsi-12 number
+        for k in ("spsi12_bf16", "spsi12_int8"):
+            assert abs(art["fused_candidate"][k][b] - spsi12) < 1e-3, (k, b)
+    # task-metric gate: MCD tie with the reference's random-64 mode
+    mcd = art["mcd_ab"]["results_db"]
+    for leg in ("copy_synthesis", "tts"):
+        assert mcd["spsi@12"][leg] <= mcd["random@64"][leg] + 0.05, mcd
