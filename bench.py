@@ -33,15 +33,18 @@ import numpy as np
 
 def measure_with_fallback(candidates, measure, log=None):
     """Try (name, make_syn) candidates in order; return
-    ``(result, chosen_name, cfg_like, degraded_reason)``.
+    ``(result, chosen_name, degraded_reason)``.
 
     A transient tunnel error (``UNAVAILABLE``) re-raises so the outer retry
     loop can handle it; any other failure falls through to the next
     candidate, and the first success after a failure carries a loud
-    ``degraded`` reason (r4 lost its round number to a kernel VMEM OOM in
-    the production config — the scoreboard must degrade, not vanish)."""
+    ``degraded`` reason naming EVERY failed config with its own error (r4
+    lost its round number to a kernel VMEM OOM in the production config —
+    the scoreboard must degrade, not vanish, and the artifact must preserve
+    the production failure, not just the last candidate's)."""
+    assert candidates, "no vocoder candidates"
     log = log or (lambda msg: print(msg, file=sys.stderr))
-    last_err = None
+    errors = []                     # (name, exception) per failed candidate
     for name, make in candidates:
         try:
             result = measure(make())
@@ -49,15 +52,15 @@ def measure_with_fallback(candidates, measure, log=None):
             if "UNAVAILABLE" in str(e):
                 raise
             log(f"[bench] vocoder config '{name}' failed: {e}")
-            last_err = e
+            errors.append((name, e))
             continue
         degraded = None
-        if last_err is not None:
-            degraded = (f"production vocoder config failed "
-                        f"({type(last_err).__name__}: "
-                        f"{str(last_err)[:300]}); measured {name}")
+        if errors:
+            failed = "; ".join(f"{n} failed ({type(e).__name__}: "
+                               f"{str(e)[:200]})" for n, e in errors)
+            degraded = f"{failed}; measured {name}"
         return result, name, degraded
-    raise last_err
+    raise errors[-1][1]
 
 
 def bench_ge2e(batch: int = 960) -> None:

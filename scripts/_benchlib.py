@@ -31,3 +31,25 @@ def timeit(name: str, fn, *args, reps: int = 3):
     assert np.isfinite(acc)
     print(f"{name:34s} {dt * 1e3:9.2f} ms", flush=True)
     return out, dt
+
+
+def find_campaign_ckpt(root: str, prefix: str,
+                       adversarial: bool = False) -> str:
+    """Resolve a campaign checkpoint dir (best_model, else latest
+    iteration) — the one place that encodes the campaign trainer's
+    checkpoint layout (scripts/campaign.py::_ckpt)."""
+    import glob
+    import sys
+
+    base = os.path.join(root, "checkpoints", "conditional",
+                        "adversarial" if adversarial else "not_adversarial",
+                        "campaign" + ("_adv" if adversarial else ""))
+    best = os.path.join(base, f"{prefix}_best_model")
+    if os.path.isdir(best):
+        return best
+    dirs = [p for p in glob.glob(os.path.join(base, f"{prefix}_iteration_*"))
+            if os.path.isdir(p)]
+    if not dirs:
+        sys.exit(f"[_benchlib] no {prefix} checkpoint under {base} — "
+                 "run the campaign's training stages first")
+    return max(dirs, key=lambda p: int(p.rsplit("_", 1)[-1]))

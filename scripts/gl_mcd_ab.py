@@ -15,8 +15,10 @@ data/dataset.py:94-118) → DTW-MCD vs the GT mel. Two legs per candidate:
   candidates, so ranking differences are the vocoder's).
 
 Candidates: the reference mode (random@64 — synthesize.py:144's
-librosa.griffinlim n_iter=64), the current production default (spsi@16),
-spsi@24, and the r3 default (advance@24).
+librosa.griffinlim n_iter=64, run reference-faithfully as f32 XLA GL),
+the production default (spsi@12 since r5), spsi@16/24, and the r3
+default (advance@24) — the non-reference candidates run the production
+fused kernel.
 
 Run on the live TPU after the campaign's synthesize stage:
   python scripts/gl_mcd_ab.py [--root /root/repo/_campaign_r5] [--batches 3]
@@ -39,6 +41,7 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import numpy as np
 
+from _benchlib import find_campaign_ckpt
 from _benchlib import setup_cache as _setup_cache
 
 _setup_cache()
@@ -46,18 +49,6 @@ _setup_cache()
 OUT = os.path.join(REPO, "docs", "GL_SPSI_CHECK.json")
 CANDIDATES = [("random", 64), ("spsi", 16), ("spsi", 24), ("advance", 24),
               ("spsi", 12)]
-
-
-def find_ckpt(root: str, prefix: str) -> str:
-    base = os.path.join(root, "checkpoints", "conditional",
-                        "not_adversarial", "campaign")
-    best = os.path.join(base, f"{prefix}_best_model")
-    if os.path.isdir(best):
-        return best
-    dirs = [p for p in glob.glob(os.path.join(base, f"{prefix}_iteration_*"))
-            if os.path.isdir(p)]
-    assert dirs, (base, prefix)
-    return max(dirs, key=lambda p: int(p.rsplit("_", 1)[-1]))
 
 
 def main():
@@ -86,8 +77,8 @@ def main():
                     dtype=jnp.bfloat16)
     ssrn = SSRN(freq_bins=cfg.mel.freq_bins, output_bins=cfg.lin_bins,
                 ssrn_dim=cfg.ssrn_dim, dtype=jnp.bfloat16)
-    p1 = load_generator_params(find_ckpt(args.root, "text2mel"), melsyn, cfg)
-    p2 = load_generator_params(find_ckpt(args.root, "ssrn"), ssrn, cfg,
+    p1 = load_generator_params(find_campaign_ckpt(args.root, "text2mel"), melsyn, cfg)
+    p2 = load_generator_params(find_campaign_ckpt(args.root, "ssrn"), ssrn, cfg,
                                kind="ssrn")
 
     spec_dir = os.path.join(args.root, "spec")
@@ -102,8 +93,19 @@ def main():
 
     vocoders = {}
     for init, iters in CANDIDATES:
-        c = cfg.replace(tpu=dataclasses.replace(
-            cfg.tpu, griffin_lim_init=init, griffin_lim_iters=iters))
+        if (init, iters) == ("random", 64):
+            # the REFERENCE mode must be reference-faithful: the f32 XLA
+            # Griffin-Lim (librosa-equivalent math, synthesize.py:144) —
+            # NOT the production fused int8 kernel, which would gate the
+            # candidates against a potentially-degraded baseline
+            c = cfg.replace(tpu=dataclasses.replace(
+                cfg.tpu, griffin_lim_init=init, griffin_lim_iters=iters,
+                griffin_lim_impl="xla", griffin_lim_precision="highest"))
+        else:
+            # candidates run the production path (fused kernel, int8 per
+            # Config) — that is what ships
+            c = cfg.replace(tpu=dataclasses.replace(
+                cfg.tpu, griffin_lim_init=init, griffin_lim_iters=iters))
         vocoders[(init, iters)] = make_vocoder(c, iters)
 
     results = {f"{i}@{n}": {"copy_synthesis": [], "tts": []}
@@ -146,7 +148,10 @@ def main():
                  "mel -> DTW-MCD vs GT mel); copy_synthesis feeds GT linear "
                  "mags (pure GL quality), tts feeds the trained TTS's "
                  "prediction (end-to-end task metric). Lower is better; "
-                 "production default is chosen by this table."),
+                 "production default is chosen by this table. random@64 is "
+                 "the reference-faithful f32 XLA GL (librosa math); the "
+                 "other candidates run the production fused kernel "
+                 "(int8 per Config) - what ships."),
         "batches": args.batches, "batch_size": args.batch_size,
         "backend": jax.default_backend(),
         "results_db": summary,

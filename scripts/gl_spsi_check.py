@@ -19,10 +19,15 @@ import os
 import sys
 
 # campaign.py parses argv at import; forward only the campaign root
-# (SPOOFSV_CAMPAIGN_ROOT or --root, default the base _campaign dir)
+# (SPOOFSV_CAMPAIGN_ROOT or --root/--root=PATH, default the base _campaign)
 _root = os.environ.get("SPOOFSV_CAMPAIGN_ROOT")
-if "--root" in sys.argv:
-    _root = sys.argv[sys.argv.index("--root") + 1]
+for _i, _a in enumerate(sys.argv[1:], 1):
+    if _a == "--root":
+        if _i + 1 >= len(sys.argv):
+            sys.exit("--root requires a path argument")
+        _root = sys.argv[_i + 1]
+    elif _a.startswith("--root="):
+        _root = _a.split("=", 1)[1]
 sys.argv = [sys.argv[0]] + (["--root", _root] if _root else [])
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -303,7 +303,9 @@ def main():
 
         stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
         art["griffin_lim_refreshed_at"] = stamp
-        prior.setdefault("decode_refreshed_at", prior.get("refreshed_at"))
+        prior.setdefault("decode_refreshed_at",
+                         prior.get("refreshed_at")
+                         or "unknown (artifact predates per-leg stamps)")
         prior.update(art)
         art = prior
     else:

@@ -42,6 +42,9 @@ if os.path.isdir(REF) and REF not in sys.path:
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from _benchlib import find_campaign_ckpt  # noqa: E402
+
 OUT = os.path.join(REPO, "docs", "TRAINED_PARITY.json")
 
 
@@ -53,20 +56,6 @@ def parse_args():
     ps.add_argument("--mel_threshold", type=float, default=0.05)
     ps.add_argument("--attn_threshold", type=float, default=0.02)
     return ps.parse_args()
-
-
-def find_ckpt(root: str, prefix: str) -> str:
-    base = os.path.join(root, "checkpoints", "conditional",
-                        "not_adversarial", "campaign")
-    best = os.path.join(base, f"{prefix}_best_model")
-    if os.path.isdir(best):
-        return best
-    dirs = [p for p in glob.glob(os.path.join(base, f"{prefix}_iteration_*"))
-            if os.path.isdir(p)]
-    if not dirs:
-        sys.exit(f"[trained_parity] no {prefix} checkpoint under {base} — "
-                 "run the campaign's training stages first")
-    return max(dirs, key=lambda p: int(p.rsplit("_", 1)[-1]))
 
 
 def tree_maxdiff(a, b) -> float:
@@ -103,8 +92,8 @@ def main():
 
     cfg = Config.from_reference_dict(
         json.load(open(os.path.join(args.root, "config.json"))))
-    t2m_ck = find_ckpt(args.root, "text2mel")
-    ssrn_ck = find_ckpt(args.root, "ssrn")
+    t2m_ck = find_campaign_ckpt(args.root, "text2mel")
+    ssrn_ck = find_campaign_ckpt(args.root, "ssrn")
     print(f"[trained_parity] text2mel: {t2m_ck}")
     print(f"[trained_parity] ssrn:     {ssrn_ck}")
 

@@ -183,8 +183,11 @@ def main():
         art["embedding_leg"] = {
             "ge2e_ck": args.ge2e_ck,
             "aligned_counts": counts,
-            "mean_dvector_cos_mean": round(float(np.mean(sims)), 4),
-            "mean_dvector_cos_min": round(float(np.min(sims)), 4),
+            "n_compared": len(sims),
+            "mean_dvector_cos_mean": (round(float(np.mean(sims)), 4)
+                                      if sims else None),
+            "mean_dvector_cos_min": (round(float(np.min(sims)), 4)
+                                     if sims else None),
         }
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
