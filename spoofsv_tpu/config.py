@@ -70,8 +70,9 @@ class TPUConfig:
     # 16 → 12 passed every gate in docs/GL_SPSI_CHECK.json:
     # * task metric (the decider): analysis-by-synthesis MCD on the trained
     #   campaign checkpoints — spsi@12 TIES OR BEATS every config incl. the
-    #   reference's random-64 (copy-synthesis 11.197 vs 11.212 dB, TTS
-    #   20.630 vs 20.636 — `mcd_ab`);
+    #   reference's random-64, run reference-faithfully as f32 XLA GL
+    #   (copy-synthesis 11.197 vs 11.245 dB, TTS 20.630 vs 20.625 —
+    #   `mcd_ab`);
     # * campaign tri-system re-score within noise (`campaign_rescore_r5`:
     #   GE2E SR@EER identical, i-vector spoof rate 0.0, CM ±0.003);
     # * spectral convergence still strictly better than the r3 advance-24
